@@ -1,0 +1,22 @@
+"""gpax-tpu: a TPU-native Bayesian Gaussian-process framework.
+
+Provides the full capability surface of gpax (fully-Bayesian / variational GPs, deep
+kernel learning, multi-task GPs, acquisition functions, hypothesis learning) on top of
+an in-house on-device inference substrate (distributions, effect handlers, jitted
+NUTS and SVI) designed for TPU: MXU-form gram matrices, Cholesky-solve posterior math
+batched across posterior samples, and sharding over `jax.sharding.Mesh` for chains,
+ensembles, and acquisition grids.
+"""
+
+from ._version import __version__
+from . import distributions, ppl
+from .config import enable_x64, get_config, set_config
+
+__all__ = [
+    "__version__",
+    "distributions",
+    "ppl",
+    "enable_x64",
+    "get_config",
+    "set_config",
+]

@@ -1,0 +1,60 @@
+"""Global configuration for gpax-tpu.
+
+The reference library (gpax, see /root/reference/gpax/utils/utils.py:19-21) exposes a
+single global switch (``enable_x64``).  On TPU we additionally need a precision policy:
+TPU matrix units natively accumulate bf16->f32; GP gram matrices and Cholesky
+factorizations want full f32 (``highest`` matmul precision) and a slightly larger
+default jitter than the f64-on-CPU reference.
+
+Everything here is a plain frozen dataclass — cheap to read inside traced code
+(values are Python scalars, so they become compile-time constants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Framework-wide numeric policy.
+
+    Attributes:
+        default_jitter: diagonal jitter added to gram matrices (reference default 1e-6,
+            gpax/kernels/kernels.py:24-25).
+        matmul_precision: XLA matmul precision for gram construction / solves.
+            ``"highest"`` forces full-f32 MXU passes (3-pass bf16) — required for
+            numerically healthy Cholesky factorizations on TPU.
+        cholesky_jitter_schedule: multiplicative jitter escalation ladder used when a
+            Cholesky factorization produces NaNs (standard GP practice; the reference
+            has no equivalent and simply fails).
+    """
+
+    default_jitter: float = 1e-6
+    matmul_precision: str = "highest"
+    cholesky_jitter_schedule: tuple = (1.0, 10.0, 100.0, 1000.0)
+
+
+_config = Config()
+
+
+def get_config() -> Config:
+    return _config
+
+
+def set_config(**kwargs) -> Config:
+    global _config
+    _config = dataclasses.replace(_config, **kwargs)
+    return _config
+
+
+def enable_x64(use_x64: bool = True) -> None:
+    """Use double (x64) precision for jax arrays (parity with gpax.utils.enable_x64)."""
+    jax.config.update("jax_enable_x64", use_x64)
+
+
+def is_x64() -> bool:
+    return jax.config.read("jax_enable_x64")

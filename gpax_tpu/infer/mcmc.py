@@ -1,0 +1,143 @@
+"""MCMC driver: chain orchestration over the jitted NUTS engine.
+
+API mirrors ``numpyro.infer.MCMC`` as used by the reference (gpax/models/gp.py:209-218):
+``MCMC(NUTS(model), num_warmup, num_samples, num_chains, chain_method).run(key, *args)``
+then ``get_samples(group_by_chain)``.
+
+Chain methods (all single-program, TPU-idiomatic):
+  * 'vectorized'  — chains vmapped into one XLA program (default for num_chains > 1).
+  * 'parallel'    — vmapped AND sharded across the device mesh (chain axis split over
+                    ``jax.devices()`` with a NamedSharding) — XLA runs chains on
+                    separate chips with zero inter-chip traffic.
+  * 'sequential'  — Python loop (debugging / memory-constrained).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ppl import initialize_model, trace as ppl_trace, substitute, seed
+from . import diagnostics
+from .nuts import NUTS, run_nuts
+
+
+class MCMC:
+    def __init__(self, kernel: NUTS, num_warmup: int = 2000, num_samples: int = 2000,
+                 num_chains: int = 1, chain_method: str = "sequential",
+                 progress_bar: bool = False, jit_model_args: bool = False):
+        self.kernel = kernel
+        self.num_warmup = num_warmup
+        self.num_samples = num_samples
+        self.num_chains = num_chains
+        self.chain_method = chain_method
+        self.progress_bar = progress_bar  # accepted for API parity; sampling is one jit
+        self._samples_by_chain: Optional[Dict[str, jnp.ndarray]] = None
+        self._stats: Optional[Dict[str, jnp.ndarray]] = None
+        self._model_args = ()
+        self._model_kwargs: Dict = {}
+
+    def run(self, rng_key, *model_args, extra_fields=(), init_params=None, **model_kwargs):
+        model = self.kernel.model
+        self._model_args = model_args
+        self._model_kwargs = model_kwargs
+
+        key_init, key_run = jax.random.split(rng_key)
+        info = initialize_model(
+            model, key_init, model_args, model_kwargs,
+            init_strategy=self.kernel.init_strategy,
+        )
+        init_z = info.init_unconstrained if init_params is None else init_params
+
+        def one_chain(key, z0):
+            zs, stats, unravel = run_nuts(
+                info.potential_fn, z0, key,
+                num_warmup=self.num_warmup,
+                num_samples=self.num_samples,
+                max_tree_depth=self.kernel.max_tree_depth,
+                target_accept_prob=self.kernel.target_accept_prob,
+                init_step_size=self.kernel.step_size,
+            )
+            return zs, stats
+
+        # per-chain jitter of the init point (chain 0 keeps the median init)
+        def chain_init(key, i):
+            flat, unravel = jax.flatten_util.ravel_pytree(init_z)
+            jitter = jnp.where(i == 0, 0.0, 1.0) * jax.random.uniform(
+                key, flat.shape, minval=-1.0, maxval=1.0
+            )
+            return unravel(flat + jitter)
+
+        chain_keys = jax.random.split(key_run, self.num_chains)
+        init_keys = jax.random.split(jax.random.fold_in(key_run, 7), self.num_chains)
+        chain_ids = jnp.arange(self.num_chains)
+
+        if self.num_chains == 1:
+            z0 = jax.tree_util.tree_map(lambda x: x[None], init_z)
+            zs, stats = jax.jit(jax.vmap(one_chain))(
+                chain_keys, z0
+            )
+        elif self.chain_method == "sequential":
+            outs = []
+            for c in range(self.num_chains):
+                z0 = chain_init(init_keys[c], c)
+                outs.append(jax.jit(one_chain)(chain_keys[c], z0))
+            zs = jnp.stack([o[0] for o in outs])
+            stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
+        else:
+            z0s = jax.vmap(chain_init)(init_keys, chain_ids)
+            run = jax.jit(jax.vmap(one_chain))
+            if self.chain_method == "parallel" and len(jax.devices()) > 1:
+                n_dev = min(len(jax.devices()), self.num_chains)
+                while self.num_chains % n_dev:
+                    n_dev -= 1
+                mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("chains",))
+                sharding = NamedSharding(mesh, P("chains"))
+                chain_keys = jax.device_put(chain_keys, sharding)
+                z0s = jax.device_put(
+                    z0s, NamedSharding(mesh, P("chains"))
+                )
+            zs, stats = run(chain_keys, z0s)
+
+        # unflatten + constrain + collect deterministic sites, vmapped over (chain, draw)
+        _, unravel = jax.flatten_util.ravel_pytree(init_z)
+
+        def postprocess(z_flat):
+            z = unravel(z_flat)
+            params = info.constrain_fn(z)
+            tr = ppl_trace(substitute(seed(model, 0), data=params)).get_trace(
+                *model_args, **model_kwargs
+            )
+            out = dict(params)
+            for name, site in tr.items():
+                if site["type"] == "deterministic":
+                    out[name] = site["value"]
+            return out
+
+        self._samples_by_chain = jax.jit(jax.vmap(jax.vmap(postprocess)))(zs)
+        self._stats = stats
+        return self
+
+    def get_samples(self, group_by_chain: bool = False) -> Dict[str, jnp.ndarray]:
+        if self._samples_by_chain is None:
+            raise RuntimeError("run() first")
+        if group_by_chain:
+            return self._samples_by_chain
+        return {
+            k: v.reshape((-1,) + v.shape[2:]) for k, v in self._samples_by_chain.items()
+        }
+
+    def get_extra_fields(self, group_by_chain: bool = False) -> Dict[str, jnp.ndarray]:
+        if self._stats is None:
+            raise RuntimeError("run() first")
+        if group_by_chain:
+            return self._stats
+        return {k: v.reshape((-1,) + v.shape[2:]) for k, v in self._stats.items()}
+
+    def print_summary(self, prob: float = 0.9) -> None:
+        diagnostics.print_summary(self.get_samples(group_by_chain=True), prob)

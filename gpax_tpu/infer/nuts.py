@@ -1,0 +1,403 @@
+"""Iterative No-U-Turn Sampler, fully jit-compiled.
+
+Replaces numpyro's NUTS/MCMC pair used by every HMC model in the reference
+(gpax/models/gp.py:207-218, spm.py:86-125).  Design points:
+
+* The whole trajectory builder is ``lax.while_loop``-based — no Python recursion —
+  so warmup + sampling compile to a single XLA program and chains can be ``vmap``-ed
+  (chain_method='vectorized') or sharded over a device mesh (chain_method='parallel').
+* Multinomial (progressive) sampling over the trajectory, biased progressive sampling
+  across doublings, and the generalized U-turn criterion of Betancourt (2017).
+* Sub-tree U-turn checks use O(max_depth) checkpointing: after leapfrog leaf ``n``
+  (0-indexed within the subtree), even leaves are stored at checkpoint slot
+  ``popcount(n >> 1)``; an odd leaf ``n`` closes ``t = trailing_ones(n)`` balanced
+  subtrees, checked against slots ``[popcount(n >> 1) - t + 1, popcount(n >> 1)]``.
+  (Slot occupancy proof: leaf ``a`` is a live left edge iff ``a`` is even and the
+  subtree ``[a, a + 2^k)`` is still open; distinct live edges at any time map to
+  distinct slots, and dead edges are overwritten exactly when their slot is reused.)
+* Diagonal mass-matrix adaptation (Welford) on Stan's warmup window schedule with
+  Nesterov dual averaging of the step size.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from .hmc_util import (
+    DualAveragingState,
+    WelfordState,
+    da_init,
+    da_update,
+    find_reasonable_step_size,
+    kinetic_energy,
+    leapfrog,
+    sample_momentum,
+    warmup_schedule,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+
+MAX_DELTA_ENERGY = 1000.0
+
+
+class NUTSState(NamedTuple):
+    z: jnp.ndarray               # flat unconstrained position
+    potential: jnp.ndarray
+    grad: jnp.ndarray
+    step_size: jnp.ndarray
+    inv_mass: jnp.ndarray
+    rng_key: jnp.ndarray
+    # diagnostics of the last transition
+    accept_prob: jnp.ndarray
+    num_steps: jnp.ndarray
+    diverging: jnp.ndarray
+    energy: jnp.ndarray
+
+
+class _TreeState(NamedTuple):
+    z_left: jnp.ndarray
+    r_left: jnp.ndarray
+    grad_left: jnp.ndarray
+    z_right: jnp.ndarray
+    r_right: jnp.ndarray
+    grad_right: jnp.ndarray
+    z_prop: jnp.ndarray
+    u_prop: jnp.ndarray
+    grad_prop: jnp.ndarray
+    log_weight: jnp.ndarray
+    r_sum: jnp.ndarray
+    turning: jnp.ndarray
+    diverging: jnp.ndarray
+    sum_accept: jnp.ndarray
+    num_leaves: jnp.ndarray
+
+
+def _is_turning(inv_mass, r_left, r_right, r_sum):
+    """Generalized U-turn criterion (Betancourt 2017, App. A.4.2)."""
+    v_left = inv_mass * r_left
+    v_right = inv_mass * r_right
+    rho = r_sum - 0.5 * (r_left + r_right)
+    return (jnp.dot(v_left, rho) <= 0) | (jnp.dot(v_right, rho) <= 0)
+
+
+def _trailing_ones(n):
+    return jax.lax.population_count(n ^ (n + 1)) - 1
+
+
+def _build_subtree(potential_grad, depth, z0, r0, grad0, u0, eps_signed, inv_mass,
+                   h0, key, max_depth):
+    """Build a balanced subtree of 2**depth leaves starting one leapfrog step
+    beyond (z0, r0).  Iterative with early exit on turning/divergence."""
+    dim = z0.shape[0]
+    num_leaves = jnp.asarray(2, jnp.int32) ** depth
+
+    def cond(carry):
+        n = carry["n"]
+        return (n < num_leaves) & ~carry["turning"] & ~carry["diverging"]
+
+    def body(carry):
+        n = carry["n"]
+        key, k_prop = jax.random.split(carry["key"])
+        z, r, u, grad = leapfrog(
+            potential_grad, carry["z"], carry["r"], eps_signed, inv_mass, carry["grad"]
+        )
+        energy = u + kinetic_energy(r, inv_mass)
+        energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
+        delta = energy - h0
+        diverging = delta > MAX_DELTA_ENERGY
+        log_w_leaf = -delta
+        # progressive multinomial sampling within the subtree
+        log_w_new = jnp.logaddexp(carry["log_weight"], log_w_leaf)
+        take_new = jnp.log(jax.random.uniform(k_prop)) < (log_w_leaf - log_w_new)
+        z_prop = jnp.where(take_new, z, carry["z_prop"])
+        u_prop = jnp.where(take_new, u, carry["u_prop"])
+        grad_prop = jnp.where(take_new, grad, carry["grad_prop"])
+        accept = jnp.exp(jnp.minimum(0.0, -delta))
+
+        # checkpoint store (even leaf): slot = popcount(n >> 1)
+        slot = jax.lax.population_count(n >> 1)
+        is_even = (n % 2) == 0
+        r_ckpts = jnp.where(
+            is_even,
+            carry["r_ckpts"].at[slot].set(r),
+            carry["r_ckpts"],
+        )
+        s_ckpts = jnp.where(
+            is_even,
+            carry["s_ckpts"].at[slot].set(carry["r_sum"]),
+            carry["s_ckpts"],
+        )
+        r_sum = carry["r_sum"] + r
+
+        # U-turn checks for every balanced subtree closed by odd leaf n
+        def check_turning(_):
+            idx_max = jax.lax.population_count(n >> 1)
+            t = _trailing_ones(n)
+            idx_min = idx_max - t + 1
+
+            def c(state):
+                i, turning = state
+                return (i >= idx_min) & ~turning
+
+            def b(state):
+                i, _ = state
+                r_a = r_ckpts[i]
+                s_before_a = s_ckpts[i]
+                sub_sum = r_sum - s_before_a
+                return i - 1, _is_turning(inv_mass, r_a, r, sub_sum)
+
+            _, turning = jax.lax.while_loop(c, b, (idx_max, jnp.asarray(False)))
+            return turning
+
+        turning = jax.lax.cond(
+            (n % 2) == 1, check_turning, lambda _: jnp.asarray(False), operand=None
+        )
+
+        return {
+            "n": n + 1,
+            "z": z, "r": r, "grad": grad, "u": u,
+            "z_prop": z_prop, "u_prop": u_prop, "grad_prop": grad_prop,
+            "log_weight": log_w_new,
+            "r_sum": r_sum,
+            "r_first": jnp.where(n == 0, r, carry["r_first"]),
+            "z_first": jnp.where(n == 0, z, carry["z_first"]),
+            "grad_first": jnp.where(n == 0, grad, carry["grad_first"]),
+            "sum_accept": carry["sum_accept"] + accept,
+            "turning": turning,
+            "diverging": diverging,
+            "key": key,
+            "r_ckpts": r_ckpts,
+            "s_ckpts": s_ckpts,
+        }
+
+    init = {
+        "n": jnp.asarray(0, jnp.int32),
+        "z": z0, "r": r0, "grad": grad0, "u": u0,
+        "z_prop": z0, "u_prop": u0, "grad_prop": grad0,
+        "log_weight": jnp.asarray(-jnp.inf, z0.dtype),
+        "r_sum": jnp.zeros_like(r0),
+        "r_first": r0, "z_first": z0, "grad_first": grad0,
+        "sum_accept": jnp.zeros((), z0.dtype),
+        "turning": jnp.asarray(False),
+        "diverging": jnp.asarray(False),
+        "key": key,
+        "r_ckpts": jnp.zeros((max_depth + 1, dim), z0.dtype),
+        "s_ckpts": jnp.zeros((max_depth + 1, dim), z0.dtype),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def nuts_step(potential_grad: Callable, state: NUTSState, max_depth: int = 10) -> NUTSState:
+    """One NUTS transition."""
+    key, k_mom, k_loop = jax.random.split(state.rng_key, 3)
+    r0 = sample_momentum(k_mom, state.inv_mass)
+    h0 = state.potential + kinetic_energy(r0, state.inv_mass)
+
+    tree0 = _TreeState(
+        z_left=state.z, r_left=r0, grad_left=state.grad,
+        z_right=state.z, r_right=r0, grad_right=state.grad,
+        z_prop=state.z, u_prop=state.potential, grad_prop=state.grad,
+        log_weight=jnp.zeros((), state.z.dtype),
+        r_sum=r0,
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        sum_accept=jnp.zeros((), state.z.dtype),
+        num_leaves=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(carry):
+        depth, tree, key = carry
+        return (depth < max_depth) & ~tree.turning & ~tree.diverging
+
+    def body(carry):
+        depth, tree, key = carry
+        key, k_dir, k_sub, k_merge = jax.random.split(key, 4)
+        go_right = jax.random.bernoulli(k_dir)
+        eps_signed = jnp.where(go_right, state.step_size, -state.step_size)
+        z0 = jnp.where(go_right, tree.z_right, tree.z_left)
+        r0_edge = jnp.where(go_right, tree.r_right, tree.r_left)
+        grad0 = jnp.where(go_right, tree.grad_right, tree.grad_left)
+        u0 = jnp.zeros((), state.z.dtype)  # unused by _build_subtree proposals' init
+
+        sub = _build_subtree(
+            potential_grad, depth, z0, r0_edge, grad0, u0, eps_signed,
+            state.inv_mass, h0, k_sub, max_depth,
+        )
+        sub_valid = ~sub["turning"] & ~sub["diverging"]
+
+        # biased progressive sampling across doublings
+        take_new = jnp.log(jax.random.uniform(k_merge)) < (
+            sub["log_weight"] - tree.log_weight
+        )
+        take_new = take_new & sub_valid
+        z_prop = jnp.where(take_new, sub["z_prop"], tree.z_prop)
+        u_prop = jnp.where(take_new, sub["u_prop"], tree.u_prop)
+        grad_prop = jnp.where(take_new, sub["grad_prop"], tree.grad_prop)
+
+        # merge edges / momentum sum only if the subtree is valid
+        def merged_edges():
+            z_left = jnp.where(go_right, tree.z_left, sub["z"])
+            r_left = jnp.where(go_right, tree.r_left, sub["r"])
+            grad_left = jnp.where(go_right, tree.grad_left, sub["grad"])
+            z_right = jnp.where(go_right, sub["z"], tree.z_right)
+            r_right = jnp.where(go_right, sub["r"], tree.r_right)
+            grad_right = jnp.where(go_right, sub["grad"], tree.grad_right)
+            return z_left, r_left, grad_left, z_right, r_right, grad_right
+
+        z_left, r_left, grad_left, z_right, r_right, grad_right = merged_edges()
+        r_sum = tree.r_sum + sub["r_sum"]
+        turning_combined = _is_turning(state.inv_mass, r_left, r_right, r_sum)
+
+        new_tree = _TreeState(
+            z_left=jnp.where(sub_valid, z_left, tree.z_left),
+            r_left=jnp.where(sub_valid, r_left, tree.r_left),
+            grad_left=jnp.where(sub_valid, grad_left, tree.grad_left),
+            z_right=jnp.where(sub_valid, z_right, tree.z_right),
+            r_right=jnp.where(sub_valid, r_right, tree.r_right),
+            grad_right=jnp.where(sub_valid, grad_right, tree.grad_right),
+            z_prop=z_prop, u_prop=u_prop, grad_prop=grad_prop,
+            log_weight=jnp.where(
+                sub_valid, jnp.logaddexp(tree.log_weight, sub["log_weight"]), tree.log_weight
+            ),
+            r_sum=jnp.where(sub_valid, r_sum, tree.r_sum),
+            turning=sub["turning"] | (sub_valid & turning_combined),
+            diverging=sub["diverging"],
+            sum_accept=tree.sum_accept + sub["sum_accept"],
+            num_leaves=tree.num_leaves + sub["n"],
+        )
+        return depth + 1, new_tree, key
+
+    _, tree, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), tree0, k_loop))
+
+    accept_prob = tree.sum_accept / jnp.maximum(tree.num_leaves.astype(state.z.dtype), 1.0)
+    return NUTSState(
+        z=tree.z_prop,
+        potential=tree.u_prop,
+        grad=tree.grad_prop,
+        step_size=state.step_size,
+        inv_mass=state.inv_mass,
+        rng_key=key,
+        accept_prob=accept_prob,
+        num_steps=tree.num_leaves,
+        diverging=tree.diverging,
+        energy=tree.u_prop,
+    )
+
+
+class NUTS:
+    """NUTS kernel spec (mirrors the constructor role of ``numpyro.infer.NUTS``)."""
+
+    def __init__(self, model, step_size: float = 1.0, max_tree_depth: int = 10,
+                 target_accept_prob: float = 0.8, init_strategy: str = "median",
+                 dense_mass: bool = False):
+        if dense_mass:
+            raise NotImplementedError("diagonal mass matrix only (gpax never uses dense)")
+        self.model = model
+        self.step_size = step_size
+        self.max_tree_depth = max_tree_depth
+        self.target_accept_prob = target_accept_prob
+        self.init_strategy = init_strategy
+
+
+def run_nuts(
+    potential_fn: Callable,
+    init_unconstrained,
+    rng_key,
+    num_warmup: int,
+    num_samples: int,
+    max_tree_depth: int = 10,
+    target_accept_prob: float = 0.8,
+    init_step_size: float = 1.0,
+    collect_warmup: bool = False,
+):
+    """Warmup + sampling for ONE chain over a pytree of unconstrained latents.
+
+    Returns (flat samples (num_samples, dim), stats dict, unravel_fn).
+    jit/vmap-safe: call under vmap over `rng_key`/`init_unconstrained` for chains.
+    """
+    z0_flat, unravel = ravel_pytree(init_unconstrained)
+    dim = z0_flat.shape[0]
+    dtype = z0_flat.dtype
+
+    def pot_flat(zf):
+        return potential_fn(unravel(zf))
+
+    potential_grad = jax.value_and_grad(pot_flat)
+
+    inv_mass0 = jnp.ones((dim,), dtype)
+    k_eps, k_run = jax.random.split(rng_key)
+    eps0 = find_reasonable_step_size(potential_grad, z0_flat, inv_mass0, k_eps, init_step_size)
+
+    u0, g0 = potential_grad(z0_flat)
+    state0 = NUTSState(
+        z=z0_flat, potential=u0, grad=g0, step_size=eps0, inv_mass=inv_mass0,
+        rng_key=k_run, accept_prob=jnp.zeros((), dtype),
+        num_steps=jnp.zeros((), jnp.int32), diverging=jnp.asarray(False),
+        energy=u0,
+    )
+
+    in_window, window_end = warmup_schedule(num_warmup)
+    total = num_warmup + num_samples
+    is_warmup = jnp.arange(total) < num_warmup
+    is_warmup_next = jnp.arange(1, total + 1) < num_warmup
+    in_window = jnp.concatenate([in_window, jnp.zeros((num_samples,), bool)])
+    window_end = jnp.concatenate([window_end, jnp.zeros((num_samples,), bool)])
+
+    # ONE scan over warmup + sampling so the (expensive) nuts_step traces once.
+    def step_fn(carry, xs):
+        state, da, wf = carry
+        warm, warm_next, in_win, win_end = xs
+        state = nuts_step(potential_grad, state, max_tree_depth)
+
+        # dual averaging: only advances during warmup
+        da_new = da_update(da, state.accept_prob, target_accept_prob)
+        da = jax.tree_util.tree_map(lambda n, o: jnp.where(warm, n, o), da_new, da)
+        if num_warmup > 0:
+            # next step uses the live DA iterate while still warming up, the
+            # averaged (frozen) step size once sampling starts
+            step_size = jnp.where(warm_next, jnp.exp(da.log_step), jnp.exp(da.log_step_avg))
+        else:
+            step_size = eps0
+        state = state._replace(step_size=step_size)
+
+        # mass-matrix accumulation inside adaptation windows
+        wf_new = welford_update(wf, state.z)
+        wf = jax.tree_util.tree_map(lambda n, o: jnp.where(in_win, n, o), wf_new, wf)
+
+        def end_window(args):
+            state, da, wf = args
+            inv_mass = welford_variance(wf)
+            return (
+                state._replace(inv_mass=inv_mass),
+                da_init(jnp.exp(da.log_step)),
+                welford_init(dim, dtype),
+            )
+
+        state, da, wf = jax.lax.cond(win_end, end_window, lambda a: a, (state, da, wf))
+        stats = {
+            "accept_prob": state.accept_prob,
+            "num_steps": state.num_steps,
+            "diverging": state.diverging,
+            "potential_energy": state.potential,
+            "step_size": state.step_size,
+        }
+        return (state, da, wf), (state.z, stats)
+
+    da0 = da_init(eps0)
+    wf0 = welford_init(dim, dtype)
+    (state, da, _), (zs, stats) = jax.lax.scan(
+        step_fn, (state0, da0, wf0), (is_warmup, is_warmup_next, in_window, window_end),
+        length=total,
+    )
+    if not collect_warmup:
+        zs = zs[num_warmup:]
+        stats = {k: v[num_warmup:] for k, v in stats.items()}
+    return zs, stats, unravel

@@ -1,0 +1,235 @@
+"""Stochastic variational inference: Trace-ELBO + auto-guides + optax optimizers,
+with the whole fit loop compiled as one ``lax.scan``.
+
+Replaces numpyro's SVI/autoguide/optim stack used by the reference's variational
+models (gpax/models/vigp.py:108-120, sparse_gp.py:116-171, linreg.py:14-36,
+vidkl.py:126-161).  Guides:
+
+  * AutoDelta          — MAP point estimates (delta posteriors) in constrained space.
+  * AutoNormal         — per-site mean-field normal in unconstrained space.
+  * AutoDiagonalNormal — joint diagonal normal over the flattened unconstrained vector.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import optax
+
+from ..distributions import Normal, biject_to
+from ..ppl import get_latent_sites, log_density
+from ..ppl.util import constrain, transform_log_det, unconstrain
+
+
+class AutoGuide:
+    """Base: guides expose sample_posterior-ish machinery via 3 functions over a
+    flat param dict: init(key) -> params, sample(params, key) -> (latents, guide_logp),
+    median(params) -> constrained latents."""
+
+    def __init__(self, model):
+        self.model = model
+        self._transforms = None
+        self._site_shapes = None
+        self.prototype_initialized = False
+
+    def _setup(self, rng_key, model_args, model_kwargs):
+        sites = get_latent_sites(self.model, rng_key, model_args, model_kwargs)
+        self._transforms = {n: biject_to(s["fn"].support) for n, s in sites.items()}
+        self._init_values = {n: s["value"] for n, s in sites.items()}
+        self._site_shapes = {n: s["value"].shape for n, s in sites.items()}
+        self.prototype_initialized = True
+
+    def init_params(self, rng_key, model_args=(), model_kwargs=None) -> Dict:
+        raise NotImplementedError
+
+    def sample_and_log_prob(self, params: Dict, rng_key) -> Tuple[Dict, jnp.ndarray]:
+        """Returns (constrained latents, log q(z) - includes Jacobian so that the
+        ELBO = E_q[log p(x, constrain(u)) + logdet] - E_q[log q(u)] is correct in
+        unconstrained space)."""
+        raise NotImplementedError
+
+    def median(self, params: Dict) -> Dict:
+        raise NotImplementedError
+
+    # numpyro-compat alias
+    def get_posterior_median(self, params):
+        return self.median(params)
+
+
+class AutoDelta(AutoGuide):
+    """MAP estimation: q(z) = delta(z - theta).  ELBO reduces to log p(x, theta)."""
+
+    def init_params(self, rng_key, model_args=(), model_kwargs=None):
+        if not self.prototype_initialized:
+            self._setup(rng_key, model_args, model_kwargs or {})
+        u = unconstrain(self._transforms, self._init_values)
+        return {f"{n}_loc": v for n, v in u.items()}
+
+    def sample_and_log_prob(self, params, rng_key):
+        u = {n: params[f"{n}_loc"] for n in self._transforms}
+        z = constrain(self._transforms, u)
+        # MAP in *constrained* space (numpyro AutoDelta semantics): the delta guide's
+        # log q exactly cancels the model-side change-of-variables, so the effective
+        # objective is log p(x, z) with no Jacobian term.
+        return z, jnp.zeros(())
+
+    def median(self, params):
+        u = {n: params[f"{n}_loc"] for n in self._transforms}
+        return constrain(self._transforms, u)
+
+
+class AutoNormal(AutoGuide):
+    """Mean-field normal per site, in unconstrained space."""
+
+    def __init__(self, model, init_scale: float = 0.1):
+        super().__init__(model)
+        self.init_scale = init_scale
+
+    def init_params(self, rng_key, model_args=(), model_kwargs=None):
+        if not self.prototype_initialized:
+            self._setup(rng_key, model_args, model_kwargs or {})
+        u = unconstrain(self._transforms, self._init_values)
+        params = {}
+        for n, v in u.items():
+            params[f"{n}_loc"] = v
+            params[f"{n}_scale_log"] = jnp.full_like(v, jnp.log(self.init_scale))
+        return params
+
+    def sample_and_log_prob(self, params, rng_key):
+        z = {}
+        log_q = jnp.zeros(())
+        keys = jax.random.split(rng_key, len(self._transforms))
+        for k, n in zip(keys, self._transforms):
+            loc = params[f"{n}_loc"]
+            scale = jnp.exp(params[f"{n}_scale_log"])
+            q = Normal(loc, scale)
+            u = q.sample(k)
+            log_q = log_q + q.log_prob(u).sum()
+            v = self._transforms[n](u)
+            log_q = log_q - jnp.sum(self._transforms[n].log_abs_det_jacobian(u, v))
+            z[n] = v
+        return z, log_q
+
+    def median(self, params):
+        u = {n: params[f"{n}_loc"] for n in self._transforms}
+        return constrain(self._transforms, u)
+
+
+class AutoDiagonalNormal(AutoGuide):
+    """Joint diagonal normal over the flattened unconstrained latent vector."""
+
+    def __init__(self, model, init_scale: float = 0.1):
+        super().__init__(model)
+        self.init_scale = init_scale
+        self._unravel = None
+
+    def init_params(self, rng_key, model_args=(), model_kwargs=None):
+        if not self.prototype_initialized:
+            self._setup(rng_key, model_args, model_kwargs or {})
+        u = unconstrain(self._transforms, self._init_values)
+        flat, self._unravel = jax.flatten_util.ravel_pytree(u)
+        return {
+            "auto_loc": flat,
+            "auto_scale_log": jnp.full_like(flat, jnp.log(self.init_scale)),
+        }
+
+    def sample_and_log_prob(self, params, rng_key):
+        loc = params["auto_loc"]
+        scale = jnp.exp(params["auto_scale_log"])
+        q = Normal(loc, scale)
+        uf = q.sample(rng_key)
+        log_q = q.log_prob(uf).sum()
+        u = self._unravel(uf)
+        z = constrain(self._transforms, u)
+        log_q = log_q - transform_log_det(self._transforms, u, z)
+        return z, log_q
+
+    def median(self, params):
+        u = self._unravel(params["auto_loc"])
+        return constrain(self._transforms, u)
+
+
+class SVIState(NamedTuple):
+    params: Dict
+    opt_state: object
+    rng_key: jnp.ndarray
+
+
+class SVIRunResult(NamedTuple):
+    params: Dict
+    state: SVIState
+    losses: jnp.ndarray
+
+
+class Trace_ELBO:
+    """Single-sample pathwise ELBO estimator."""
+
+    def __init__(self, num_particles: int = 1):
+        self.num_particles = num_particles
+
+
+class SVI:
+    def __init__(self, model, guide: AutoGuide, optim, loss: Optional[Trace_ELBO] = None):
+        self.model = model
+        self.guide = guide
+        if isinstance(optim, (int, float)):
+            optim = optax.adam(optim)
+        self.optim = optim
+        self.loss = loss or Trace_ELBO()
+
+    def _neg_elbo(self, guide_params, model_params, rng_key, model_args, model_kwargs):
+        latents, log_q = self.guide.sample_and_log_prob(guide_params, rng_key)
+        all_params = {**latents, **model_params}
+        log_p, _ = log_density(self.model, model_args, model_kwargs, all_params)
+        return -(log_p - log_q)
+
+    def _collect_model_params(self, rng_key, model_args, model_kwargs):
+        """Trace the model once to find numpyro.param-style sites (e.g. trainable
+        inducing inputs Xu, sparse_gp.py:70-71) — these are optimized jointly."""
+        from ..ppl import seed, trace
+
+        tr = trace(seed(self.model, rng_key)).get_trace(*model_args, **model_kwargs)
+        return {
+            n: s["init_value"] for n, s in tr.items() if s["type"] == "param"
+        }
+
+    def run(self, rng_key, num_steps: int, *model_args, progress_bar: bool = False,
+            **model_kwargs) -> SVIRunResult:
+        k_init, k_scan = jax.random.split(rng_key)
+        guide_params = self.guide.init_params(k_init, model_args, model_kwargs)
+        model_params = self._collect_model_params(k_init, model_args, model_kwargs)
+        params = {"guide": guide_params, "model": model_params}
+        opt_state = self.optim.init(params)
+
+        n_particles = self.loss.num_particles
+
+        def loss_fn(params, key):
+            if n_particles == 1:
+                return self._neg_elbo(
+                    params["guide"], params["model"], key, model_args, model_kwargs
+                )
+            keys = jax.random.split(key, n_particles)
+            losses = jax.vmap(
+                lambda kk: self._neg_elbo(
+                    params["guide"], params["model"], kk, model_args, model_kwargs
+                )
+            )(keys)
+            return losses.mean()
+
+        def step(state: SVIState, _):
+            key, sub = jax.random.split(state.rng_key)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, sub)
+            updates, opt_state = self.optim.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return SVIState(new_params, opt_state, key), loss
+
+        state0 = SVIState(params, opt_state, k_scan)
+        state, losses = jax.lax.scan(step, state0, None, length=num_steps)
+        flat_params = {**state.params["guide"], **state.params["model"]}
+        return SVIRunResult(flat_params, state, losses)
+
+    def get_params(self, state: SVIState) -> Dict:
+        return {**state.params["guide"], **state.params["model"]}

@@ -1,0 +1,125 @@
+"""NUTS correctness: statistical parity on analytically known posteriors."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpax_tpu.distributions as dist
+from gpax_tpu import ppl
+from gpax_tpu.infer import MCMC, NUTS, gelman_rubin
+from gpax_tpu.infer.nuts import run_nuts
+
+
+def test_standard_normal_posterior():
+    """Sampling from N(0, I) in 3D: mean ~ 0, var ~ 1."""
+
+    def model():
+        ppl.sample("x", dist.Normal(jnp.zeros(3), jnp.ones(3)))
+
+    mcmc = MCMC(NUTS(model), num_warmup=500, num_samples=1500)
+    mcmc.run(jax.random.PRNGKey(0))
+    x = np.asarray(mcmc.get_samples()["x"])
+    assert x.shape == (1500, 3)
+    np.testing.assert_allclose(x.mean(0), np.zeros(3), atol=0.15)
+    np.testing.assert_allclose(x.std(0), np.ones(3), atol=0.15)
+
+
+def test_correlated_gaussian():
+    """2D Gaussian with strong correlation — tests mass adaptation + u-turns."""
+    cov = jnp.asarray([[1.0, 0.9], [0.9, 1.0]])
+
+    def model():
+        ppl.sample("x", dist.MultivariateNormal(jnp.zeros(2), covariance_matrix=cov))
+
+    mcmc = MCMC(NUTS(model), num_warmup=800, num_samples=2000)
+    mcmc.run(jax.random.PRNGKey(1))
+    x = np.asarray(mcmc.get_samples()["x"])
+    emp_cov = np.cov(x.T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.12)
+
+
+def test_conjugate_normal_mean():
+    """Known posterior: y ~ N(mu, 1), mu ~ N(0, 10) => analytic Gaussian posterior."""
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(2.0, 1.0, size=50))
+
+    def model(y):
+        mu = ppl.sample("mu", dist.Normal(0.0, jnp.sqrt(10.0)))
+        ppl.sample("y", dist.Normal(mu, 1.0), obs=y)
+
+    n = 50
+    post_var = 1.0 / (1.0 / 10.0 + n)
+    post_mean = post_var * float(jnp.sum(y))
+
+    mcmc = MCMC(NUTS(model), num_warmup=500, num_samples=2000)
+    mcmc.run(jax.random.PRNGKey(2), y)
+    mu = np.asarray(mcmc.get_samples()["mu"])
+    assert abs(mu.mean() - post_mean) < 4 * np.sqrt(post_var)  # within MC error
+    np.testing.assert_allclose(mu.std(), np.sqrt(post_var), rtol=0.2)
+
+
+def test_positive_support_transform():
+    """LogNormal latent: posterior samples must be positive and match prior when
+    unconditioned (prior ~ LogNormal(0,1))."""
+
+    def model():
+        ppl.sample("s", dist.LogNormal(0.0, 1.0))
+
+    mcmc = MCMC(NUTS(model), num_warmup=500, num_samples=3000)
+    mcmc.run(jax.random.PRNGKey(3))
+    s = np.asarray(mcmc.get_samples()["s"])
+    assert (s > 0).all()
+    # log s ~ N(0,1)
+    np.testing.assert_allclose(np.log(s).mean(), 0.0, atol=0.12)
+    np.testing.assert_allclose(np.log(s).std(), 1.0, atol=0.12)
+
+
+def test_multichain_vectorized_rhat():
+    def model():
+        ppl.sample("x", dist.Normal(0.0, 1.0))
+
+    mcmc = MCMC(NUTS(model), num_warmup=300, num_samples=600, num_chains=2,
+                chain_method="vectorized")
+    mcmc.run(jax.random.PRNGKey(4))
+    grouped = mcmc.get_samples(group_by_chain=True)
+    assert grouped["x"].shape == (2, 600)
+    rhat = gelman_rubin(grouped["x"])
+    assert rhat < 1.05
+    flat = mcmc.get_samples()
+    assert flat["x"].shape == (1200,)
+
+
+def test_parallel_chains_on_mesh():
+    """chain_method='parallel' shards chains over the 8 virtual CPU devices."""
+
+    def model():
+        ppl.sample("x", dist.Normal(0.0, 1.0))
+
+    mcmc = MCMC(NUTS(model), num_warmup=200, num_samples=300, num_chains=4,
+                chain_method="parallel")
+    mcmc.run(jax.random.PRNGKey(5))
+    assert mcmc.get_samples(group_by_chain=True)["x"].shape == (4, 300)
+
+
+def test_deterministic_sites_collected():
+    def model():
+        x = ppl.sample("x", dist.Normal(0.0, 1.0))
+        ppl.deterministic("x2", x * 2.0)
+
+    mcmc = MCMC(NUTS(model), num_warmup=200, num_samples=300)
+    mcmc.run(jax.random.PRNGKey(6))
+    s = mcmc.get_samples()
+    np.testing.assert_allclose(np.asarray(s["x2"]), 2 * np.asarray(s["x"]), rtol=1e-6)
+
+
+def test_extra_fields_shapes():
+    def model():
+        ppl.sample("x", dist.Normal(0.0, 1.0))
+
+    mcmc = MCMC(NUTS(model), num_warmup=100, num_samples=200)
+    mcmc.run(jax.random.PRNGKey(7))
+    ef = mcmc.get_extra_fields()
+    assert ef["accept_prob"].shape == (200,)
+    assert ef["num_steps"].dtype == jnp.int32
+    assert not np.asarray(ef["diverging"]).any()
