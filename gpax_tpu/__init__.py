@@ -9,14 +9,20 @@ ensembles, and acquisition grids.
 """
 
 from ._version import __version__
-from . import distributions, ppl
+from . import distributions, infer, kernels, ppl, priors, utils
 from .config import enable_x64, get_config, set_config
+from .models import ExactGP
 
 __all__ = [
     "__version__",
     "distributions",
+    "infer",
     "ppl",
+    "priors",
+    "utils",
+    "kernels",
     "enable_x64",
     "get_config",
     "set_config",
+    "ExactGP",
 ]

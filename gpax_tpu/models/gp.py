@@ -1,0 +1,341 @@
+"""Fully-Bayesian exact Gaussian-process regression (NUTS), TPU-native.
+
+API parity with the reference ExactGP (gpax/models/gp.py:29-433): same constructor
+arguments, same ``model``/``fit``/``get_samples``/``predict``/``predict_in_batches``/
+``sample_from_prior`` lifecycle, same prior structure (LogNormal(0,1) noise and
+ARD lengthscales under an 'ard' plate, LogNormal output scale, Periodic 'period').
+
+TPU-native differences (deliberate improvements, not bugs):
+  * Inference is this framework's jit-compiled NUTS (one XLA program for
+    warmup+sampling) instead of numpyro's Python-loop MCMC driver.
+  * The predictive posterior uses one Cholesky factorization + triangular solves
+    per posterior sample, vmapped across samples — replacing the per-sample
+    ``jnp.linalg.inv`` at gpax/models/gp.py:271 (O(n³) with worse constants and
+    numerics).
+  * ``predict`` is compiled once per test-grid shape; ``predict_in_batches`` pads
+    the trailing chunk so the whole sweep reuses a single compiled program.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import jax.random as jra
+
+from .. import distributions as dist
+from .. import ppl
+from ..infer import MCMC, NUTS
+from ..kernels import get_kernel
+from ..ops.linalg import gp_predictive_moments, mvn_sample_from_cov
+from ..utils import split_in_batches
+
+kernel_fn_type = Callable[..., jnp.ndarray]
+
+
+class ExactGP:
+    """Fully Bayesian exact GP.
+
+    Args:
+        input_dim: number of input feature dimensions (ARD lengthscale size).
+        kernel: 'RBF' | 'Matern' | 'Periodic' | 'NNGP' or a custom kernel callable
+            with signature ``k(X, Z, params, noise=0, jitter=1e-6)``.
+        mean_fn: optional deterministic mean function ``m(X)`` or ``m(X, params)``.
+        kernel_prior: optional custom prior program returning kernel params dict.
+        mean_fn_prior: optional prior program returning mean-fn params dict.
+        noise_prior: DEPRECATED prior program for noise (use noise_prior_dist).
+        noise_prior_dist: prior distribution over observational noise variance
+            (default LogNormal(0, 1)).
+        lengthscale_prior_dist: prior distribution over kernel lengthscales
+            (default LogNormal(0, 1)).
+    """
+
+    def __init__(
+        self,
+        input_dim: int,
+        kernel: Union[str, kernel_fn_type] = "RBF",
+        mean_fn: Optional[Callable] = None,
+        kernel_prior: Optional[Callable] = None,
+        mean_fn_prior: Optional[Callable] = None,
+        noise_prior: Optional[Callable] = None,
+        noise_prior_dist: Optional[dist.Distribution] = None,
+        lengthscale_prior_dist: Optional[dist.Distribution] = None,
+    ) -> None:
+        if noise_prior is not None:
+            warnings.warn(
+                "`noise_prior` is deprecated; pass `noise_prior_dist` (a distribution "
+                "instance) instead.",
+                FutureWarning,
+            )
+        if kernel_prior is not None:
+            warnings.warn(
+                "`kernel_prior` remains available for complex priors; for lengthscales "
+                "only, prefer `lengthscale_prior_dist`.",
+                UserWarning,
+            )
+        self.kernel_dim = input_dim
+        self.kernel = get_kernel(kernel)
+        self.kernel_name = kernel if isinstance(kernel, str) else None
+        self.mean_fn = mean_fn
+        self.kernel_prior = kernel_prior
+        self.mean_fn_prior = mean_fn_prior
+        self.noise_prior = noise_prior
+        self.noise_prior_dist = noise_prior_dist
+        self.lengthscale_prior_dist = lengthscale_prior_dist
+        self.X_train: Optional[jnp.ndarray] = None
+        self.y_train: Optional[jnp.ndarray] = None
+        self.mcmc: Optional[MCMC] = None
+
+    # ------------------------------------------------------------------ model
+
+    def model(self, X: jnp.ndarray, y: Optional[jnp.ndarray] = None, **kwargs) -> None:
+        """Generative program: kernel/noise/mean priors + MVN likelihood
+        (structure parity: gpax/models/gp.py:137-164)."""
+        f_loc = jnp.zeros(X.shape[0])
+        if self.kernel_prior:
+            kernel_params = self.kernel_prior()
+        else:
+            kernel_params = self._sample_kernel_params()
+        if self.noise_prior:  # deprecated path, kept for compatibility
+            noise = self.noise_prior()
+        else:
+            noise = self._sample_noise()
+        if self.mean_fn is not None:
+            args = [X]
+            if self.mean_fn_prior is not None:
+                args += [self.mean_fn_prior()]
+            f_loc += self.mean_fn(*args).squeeze()
+        k = self.kernel(X, X, kernel_params, noise, **kwargs)
+        ppl.sample("y", dist.MultivariateNormal(loc=f_loc, covariance_matrix=k), obs=y)
+
+    def _sample_noise(self) -> jnp.ndarray:
+        noise_dist = self.noise_prior_dist
+        if noise_dist is None:
+            noise_dist = dist.LogNormal(0.0, 1.0)
+        return ppl.sample("noise", noise_dist)
+
+    def _sample_kernel_params(self, output_scale: bool = True) -> Dict[str, jnp.ndarray]:
+        """Weakly-informative LogNormal priors; ARD lengthscales under a plate of
+        size ``input_dim`` (parity: gpax/models/gp.py:229-247)."""
+        length_dist = self.lengthscale_prior_dist
+        if length_dist is None:
+            length_dist = dist.LogNormal(0.0, 1.0)
+        with ppl.plate("ard", self.kernel_dim):
+            length = ppl.sample("k_length", length_dist)
+        if output_scale:
+            scale = ppl.sample("k_scale", dist.LogNormal(0.0, 1.0))
+        else:
+            scale = ppl.deterministic("k_scale", jnp.asarray(1.0))
+        params = {"k_length": length, "k_scale": scale}
+        if self.kernel_name == "Periodic":
+            params["period"] = ppl.sample("period", dist.LogNormal(0.0, 1.0))
+        else:
+            params["period"] = None
+        return params
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(
+        self,
+        rng_key: jnp.ndarray,
+        X: jnp.ndarray,
+        y: jnp.ndarray,
+        num_warmup: int = 2000,
+        num_samples: int = 2000,
+        num_chains: int = 1,
+        chain_method: str = "sequential",
+        progress_bar: bool = True,
+        print_summary: bool = True,
+        device=None,
+        **kwargs,
+    ) -> None:
+        """Run NUTS over the GP hyperparameters.
+
+        Accepts the same arguments as the reference fit (gpax/models/gp.py:166-218);
+        ``**kwargs`` threads ``jitter`` to the kernel.
+        """
+        X, y = self._set_data(X, y)
+        if device:
+            X = jax.device_put(X, device)
+            y = jax.device_put(y, device)
+        self.X_train = X
+        self.y_train = y
+
+        self.mcmc = MCMC(
+            NUTS(self.model, init_strategy="median"),
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            num_chains=num_chains,
+            chain_method=chain_method,
+            progress_bar=progress_bar,
+        )
+        self.mcmc.run(rng_key, X, y, **kwargs)
+        if print_summary:
+            self._print_summary()
+
+    def get_samples(self, chain_dim: bool = False) -> Dict[str, jnp.ndarray]:
+        """Posterior samples (flattened across chains unless ``chain_dim``)."""
+        return self.mcmc.get_samples(group_by_chain=chain_dim)
+
+    # ------------------------------------------------------------ prediction
+
+    def get_mvn_posterior(
+        self, X_new: jnp.ndarray, params: Dict[str, jnp.ndarray],
+        noiseless: bool = False, **kwargs,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Predictive MVN for a single posterior draw, via Cholesky solves
+        (replaces the inv-based gpax/models/gp.py:253-277)."""
+        noise = params["noise"]
+        noise_p = noise * (1 - jnp.asarray(noiseless, int))
+        y_residual = self.y_train
+        if self.mean_fn is not None:
+            args = [self.X_train, params] if self.mean_fn_prior else [self.X_train]
+            y_residual = y_residual - self.mean_fn(*args).squeeze()
+        k_pp = self.kernel(X_new, X_new, params, noise_p, **kwargs)
+        k_pX = self.kernel(X_new, self.X_train, params, jitter=0.0)
+        k_XX = self.kernel(self.X_train, self.X_train, params, noise, **kwargs)
+        mean, cov = gp_predictive_moments(k_XX, k_pX, k_pp, y_residual)
+        if self.mean_fn is not None:
+            args = [X_new, params] if self.mean_fn_prior else [X_new]
+            mean = mean + self.mean_fn(*args).squeeze()
+        return mean, cov
+
+    def _predict(
+        self, rng_key: jnp.ndarray, X_new: jnp.ndarray,
+        params: Dict[str, jnp.ndarray], n: int,
+        noiseless: bool = False, **kwargs,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Mean + n function draws for one posterior sample of hyperparameters."""
+        y_mean, K = self.get_mvn_posterior(X_new, params, noiseless, **kwargs)
+        y_sampled = mvn_sample_from_cov(rng_key, y_mean, K, n)
+        return y_mean, y_sampled
+
+    def predict(
+        self,
+        rng_key: jnp.ndarray,
+        X_new: jnp.ndarray,
+        samples: Optional[Dict[str, jnp.ndarray]] = None,
+        n: int = 1,
+        filter_nans: bool = False,
+        noiseless: bool = False,
+        device=None,
+        **kwargs,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fully-Bayesian prediction: the per-sample Cholesky-solve predictive is
+        vmapped over ALL posterior samples in one compiled program
+        (sample-parallel fan-out, parity with gpax/models/gp.py:351-399).
+
+        Returns (posterior mean averaged over samples, draws of shape (S*…, n, m)).
+        """
+        X_new = self._set_data(X_new)
+        if samples is None:
+            samples = self.get_samples(chain_dim=False)
+        if device:
+            self._set_training_data(device=device)
+            X_new = jax.device_put(X_new, device)
+            samples = jax.device_put(samples, device)
+        num_samples = len(next(iter(samples.values())))
+        keys = jra.split(rng_key, num_samples)
+
+        def single(key, params):
+            return self._predict(key, X_new, params, n, noiseless, **kwargs)
+
+        y_means, y_sampled = jax.jit(jax.vmap(single))(keys, samples)
+        if filter_nans:
+            mask = ~jnp.isnan(y_sampled).any(axis=(1, 2))
+            y_sampled = y_sampled[mask]
+        return y_means.mean(0), y_sampled
+
+    def _predict_in_batches(
+        self,
+        rng_key: jnp.ndarray,
+        X_new: jnp.ndarray,
+        batch_size: int = 100,
+        batch_dim: int = 0,
+        samples: Optional[Dict[str, jnp.ndarray]] = None,
+        n: int = 1,
+        filter_nans: bool = False,
+        predict_fn: Optional[Callable] = None,
+        noiseless: bool = False,
+        device=None,
+        **kwargs,
+    ):
+        if predict_fn is None:
+            def predict_fn(xi):
+                return self.predict(
+                    rng_key, xi, samples, n, filter_nans, noiseless, device, **kwargs
+                )
+
+        cpu = jax.devices("cpu")[0]
+        out1_all, out2_all = [], []
+        for xi in split_in_batches(X_new, batch_size, dim=batch_dim):
+            # pad the trailing chunk so every batch reuses ONE compiled program
+            actual = xi.shape[batch_dim]
+            if actual < batch_size and X_new.shape[batch_dim] > batch_size:
+                pad = [(0, 0)] * xi.ndim
+                pad[batch_dim] = (0, batch_size - actual)
+                xi_padded = jnp.pad(xi, pad, mode="edge")
+            else:
+                xi_padded = xi
+            out1, out2 = predict_fn(xi_padded)
+            if actual < xi_padded.shape[batch_dim]:
+                out1 = jax.lax.slice_in_dim(out1, 0, actual, axis=batch_dim)
+                out2 = jax.lax.slice_in_dim(out2, 0, actual, axis=out2.ndim - 1 if batch_dim == 0 else batch_dim)
+            # park results on host to avoid accumulating HBM (gp.py:314-315 parity)
+            out1_all.append(jax.device_put(out1, cpu))
+            out2_all.append(jax.device_put(out2, cpu))
+        return out1_all, out2_all
+
+    def predict_in_batches(
+        self,
+        rng_key: jnp.ndarray,
+        X_new: jnp.ndarray,
+        batch_size: int = 100,
+        samples: Optional[Dict[str, jnp.ndarray]] = None,
+        n: int = 1,
+        filter_nans: bool = False,
+        predict_fn: Optional[Callable] = None,
+        noiseless: bool = False,
+        device=None,
+        **kwargs,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Chunked prediction over large grids with per-chunk host offload
+        (parity: gpax/models/gp.py:325-349)."""
+        y_pred, y_sampled = self._predict_in_batches(
+            rng_key, X_new, batch_size, 0, samples, n, filter_nans,
+            predict_fn, noiseless, device, **kwargs,
+        )
+        y_pred = jnp.concatenate(y_pred, 0)
+        y_sampled = jnp.concatenate(y_sampled, -1)
+        return y_pred, y_sampled
+
+    def sample_from_prior(self, rng_key: jnp.ndarray, X: jnp.ndarray,
+                          num_samples: int = 10) -> jnp.ndarray:
+        """Prior predictive draws at X (parity: gpax/models/gp.py:401-408)."""
+        X = self._set_data(X)
+        prior_predictive = ppl.Predictive(self.model, num_samples=num_samples)
+        samples = prior_predictive(rng_key, X)
+        return samples["y"]
+
+    # ------------------------------------------------------------- utilities
+
+    def _set_data(self, X: jnp.ndarray, y: Optional[jnp.ndarray] = None):
+        X = jnp.asarray(X)
+        X = X if X.ndim > 1 else X[:, None]
+        if y is not None:
+            return X, jnp.asarray(y).squeeze()
+        return X
+
+    def _set_training_data(self, X_train_new=None, y_train_new=None, device=None) -> None:
+        X_train = self.X_train if X_train_new is None else X_train_new
+        y_train = self.y_train if y_train_new is None else y_train_new
+        if device:
+            X_train = jax.device_put(X_train, device)
+            y_train = jax.device_put(y_train, device)
+        self.X_train = X_train
+        self.y_train = y_train
+
+    def _print_summary(self) -> None:
+        self.mcmc.print_summary()

@@ -1,0 +1,17 @@
+from .linalg import (
+    cho_solve,
+    gp_predictive_mean_var,
+    gp_predictive_moments,
+    mvn_sample_from_cov,
+    safe_cholesky,
+    tri_solve,
+)
+
+__all__ = [
+    "safe_cholesky",
+    "cho_solve",
+    "tri_solve",
+    "gp_predictive_moments",
+    "gp_predictive_mean_var",
+    "mvn_sample_from_cov",
+]
