@@ -61,10 +61,15 @@ def RBFKernel(X: jnp.ndarray, Z: jnp.ndarray, params: Dict[str, jnp.ndarray],
 
 def MaternKernel(X: jnp.ndarray, Z: jnp.ndarray, params: Dict[str, jnp.ndarray],
                  noise=0, jitter: float = 1e-6, **kwargs) -> jnp.ndarray:
-    """Matérn-5/2 kernel.  Parity: gpax/kernels/kernels.py:68-91 (including the
-    eps-regularized sqrt of the squared distance)."""
+    """Matérn-5/2 kernel.  Parity: gpax/kernels/kernels.py:68-91.
+
+    f32 note: the reference regularizes with sqrt(r² + eps), whose gradient
+    (0.5/sqrt(eps) ≈ 5e5 at r² = 0) amplifies the ±1e-7 rounding noise of the
+    matmul-form diagonal distances into optimizer-destabilizing gradient noise on
+    TPU/f32.  We use sqrt(max(r², eps)) instead: identical values off-diagonal,
+    exactly-zero gradient below the floor."""
     r2 = square_scaled_distance(X, Z, params["k_length"])
-    r = jnp.sqrt(r2 + 1e-12)
+    r = jnp.sqrt(jnp.maximum(r2, 1e-10))
     s5r = _SQRT5 * r
     k = params["k_scale"] * (1.0 + s5r + (5.0 / 3.0) * r2) * jnp.exp(-s5r)
     return _add_diag_noise(k, X, Z, noise, jitter)

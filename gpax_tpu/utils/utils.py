@@ -64,19 +64,15 @@ def random_sample_dict(data: Dict[str, jnp.ndarray], num_samples: int,
 
 
 def get_haiku_dict(kernel_params: Dict[str, jnp.ndarray]) -> Dict[str, Dict[str, jnp.ndarray]]:
-    """Regroup flat '<prefix>/<module>/<param>' SVI parameters into per-module
-    {'w': ..., 'b': ...} trees (name-compatible with the reference's haiku-based
-    viDKL params, gpax/utils/utils.py:105-123)."""
-    weights, biases = {}, {}
+    """Regroup flat 'feature_extractor/<module>/<param>' SVI parameters into
+    per-module {'w': ..., 'b': ...} trees consumable by ``Module.apply`` (same
+    role as the reference's haiku-dict regrouping, gpax/utils/utils.py:105-123)."""
+    out: Dict[str, Dict[str, jnp.ndarray]] = {}
     for key, val in kernel_params.items():
-        if key.startswith("feature_extractor"):
-            parts = key.split("/")
-            mod = parts[1] + "/" + parts[2][:-2]
-            if parts[2].endswith("b"):
-                biases[mod] = val
-            else:
-                weights[mod] = val
-    return {mod: {"w": weights[mod], "b": biases[mod]} for mod in weights}
+        if key.startswith("feature_extractor/"):
+            _, mod, pname = key.split("/")
+            out.setdefault(mod, {})[pname] = val
+    return out
 
 
 def dviz(d, samples: int = 1000) -> None:
