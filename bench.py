@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/gpax_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpax_tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CPU_SECONDS_PER_LEAPFROG_N2048 = 0.750  # measured on this host (see module docstring)

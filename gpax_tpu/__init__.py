@@ -9,20 +9,57 @@ ensembles, and acquisition grids.
 """
 
 from ._version import __version__
-from . import distributions, infer, kernels, ppl, priors, utils
+from . import acquisition, distributions, infer, kernels, ppl, priors, utils
 from .config import enable_x64, get_config, set_config
-from .models import ExactGP
+from .hypo import sample_next
+from .models import (
+    BNN,
+    DKL,
+    UIGP,
+    CoregGP,
+    ExactGP,
+    LinReg,
+    MeasuredNoiseGP,
+    MultiTaskGP,
+    VarNoiseGP,
+    iBNN,
+    sPM,
+    vExactGP,
+    vi_iBNN,
+    viDKL,
+    viGP,
+    viMTDKL,
+    viSparseGP,
+)
 
 __all__ = [
     "__version__",
-    "distributions",
-    "infer",
-    "ppl",
     "priors",
     "utils",
     "kernels",
+    "acquisition",
+    "distributions",
+    "infer",
+    "ppl",
     "enable_x64",
     "get_config",
     "set_config",
     "ExactGP",
+    "vExactGP",
+    "DKL",
+    "viDKL",
+    "iBNN",
+    "vi_iBNN",
+    "MultiTaskGP",
+    "viMTDKL",
+    "viGP",
+    "sPM",
+    "VarNoiseGP",
+    "UIGP",
+    "MeasuredNoiseGP",
+    "viSparseGP",
+    "CoregGP",
+    "BNN",
+    "LinReg",
+    "sample_next",
 ]

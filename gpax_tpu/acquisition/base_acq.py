@@ -1,0 +1,115 @@
+"""Base (moment-level) acquisition functions.
+
+Parity surface: gpax/acquisition/base_acq.py:20-237 — ``ei``/``ucb``/``ue``/``poi``
+operate on (mean, variance) moments; behavioral quirks preserved: ``ucb`` returns a
+*negated* value for minimization problems (base_acq.py:104-106) and ``ue`` returns
+sigma (sqrt of variance) despite its sigma^2 docstring (base_acq.py:109-131).
+``kg`` is the fantasy-observation knowledge gradient, expressed functionally (the
+training set is swapped via ``_set_training_data`` and restored, matching
+base_acq.py:203-235).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import distributions as dist
+from ..utils import get_keys
+
+
+def ei(moments: Tuple[jnp.ndarray, jnp.ndarray], best_f: Optional[float] = None,
+       maximize: bool = False, **kwargs) -> jnp.ndarray:
+    """Expected Improvement from predictive (mean, variance)."""
+    mean, var = moments
+    if best_f is None:
+        best_f = mean.max() if maximize else mean.min()
+    sigma = jnp.sqrt(var)
+    u = (mean - best_f) / sigma
+    if not maximize:
+        u = -u
+    normal = dist.Normal(jnp.zeros_like(u), jnp.ones_like(u))
+    ucdf = normal.cdf(u)
+    updf = jnp.exp(normal.log_prob(u))
+    return sigma * (updf + u * ucdf)
+
+
+def ucb(moments: Tuple[jnp.ndarray, jnp.ndarray], beta: float = 0.25,
+        maximize: bool = False, **kwargs) -> jnp.ndarray:
+    """Upper confidence bound: mean + sqrt(beta)·sigma (negated for minimization
+    so the caller can always argmax)."""
+    mean, var = moments
+    delta = jnp.sqrt(beta * var)
+    if maximize:
+        return mean + delta
+    return -(mean - delta)
+
+
+def ue(moments: Tuple[jnp.ndarray, jnp.ndarray], **kwargs) -> jnp.ndarray:
+    """Uncertainty-based exploration.  NOTE: returns sigma, not sigma^2 —
+    preserved from the reference (base_acq.py:109-131)."""
+    _, var = moments
+    return jnp.sqrt(var)
+
+
+def poi(moments: Tuple[jnp.ndarray, jnp.ndarray], best_f: Optional[float] = None,
+        xi: float = 0.01, maximize: bool = False, **kwargs) -> jnp.ndarray:
+    """Probability of improvement."""
+    mean, var = moments
+    if best_f is None:
+        best_f = mean.max() if maximize else mean.min()
+    sigma = jnp.sqrt(var)
+    u = (mean - best_f - xi) / sigma
+    if not maximize:
+        u = -u
+    return dist.Normal(jnp.zeros_like(u), jnp.ones_like(u)).cdf(u)
+
+
+def kg(model, X_new: jnp.ndarray, sample: Dict[str, jnp.ndarray],
+       rng_key: Optional[jnp.ndarray] = None, n: int = 10,
+       maximize: bool = True, noiseless: bool = True, **kwargs) -> jnp.ndarray:
+    """Knowledge gradient via fantasy observations.
+
+    Simulates ``n`` joint draws at the candidate points, augments the training set
+    with each (point, fantasy) pair, re-evaluates the posterior mean, and scores
+    the improvement of the new optimum — double-vmapped over (draws × candidates).
+    """
+    if rng_key is None:
+        rng_key = get_keys()[0]
+    if not isinstance(sample, (tuple, list)):
+        sample = (sample,)
+
+    X_train_o = model.X_train
+    y_train_o = model.y_train
+
+    def kg_for_one_point(x_aug, y_aug, mean_o):
+        model._set_training_data(x_aug, y_aug)
+        mean_aug, _ = model.get_mvn_posterior(X_new, *sample, noiseless=noiseless, **kwargs)
+        y_fant = mean_aug.max() if maximize else mean_aug.min()
+        mean_o_best = mean_o.max() if maximize else mean_o.min()
+        u = y_fant - mean_o_best
+        if not maximize:
+            u = -u
+        return u
+
+    mean, cov = model.get_mvn_posterior(X_new, *sample, noiseless=noiseless, **kwargs)
+    y_sim = dist.MultivariateNormal(mean, covariance_matrix=cov).sample(
+        rng_key, sample_shape=(n,)
+    )
+    # augmented training sets: one per candidate point (batched), one per draw
+    X_train_aug = jax.vmap(
+        lambda x: jnp.concatenate([X_train_o, x[None]], axis=0)
+    )(X_new)
+    y_train_aug = jax.vmap(
+        jax.vmap(lambda y: jnp.concatenate([y_train_o, y[None]]))
+    )(y_sim)
+
+    vectorized_kg = jax.vmap(
+        jax.vmap(kg_for_one_point, in_axes=(0, 0, None)), in_axes=(None, 0, None)
+    )
+    kg_values = vectorized_kg(X_train_aug, y_train_aug, mean)
+
+    model._set_training_data(X_train_o, y_train_o)
+    return kg_values.mean(0)

@@ -102,6 +102,12 @@ class Normal(Distribution):
         z = (value - self.loc) / self.scale
         return -0.5 * z * z - jnp.log(self.scale) - 0.5 * _LOG_2PI
 
+    def cdf(self, value):
+        return jax.scipy.stats.norm.cdf(value, self.loc, self.scale)
+
+    def icdf(self, q):
+        return self.loc + self.scale * jax.scipy.special.ndtri(q)
+
     @property
     def mean(self):
         return jnp.broadcast_to(self.loc, self.batch_shape)

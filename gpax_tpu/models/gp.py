@@ -29,7 +29,7 @@ from .. import distributions as dist
 from .. import ppl
 from ..infer import MCMC, NUTS
 from ..kernels import get_kernel
-from ..ops.linalg import gp_predictive_moments, mvn_sample_from_cov
+from ..ops.linalg import gp_predictive_moments, robust_mvn_sample
 from ..utils import split_in_batches
 
 kernel_fn_type = Callable[..., jnp.ndarray]
@@ -207,9 +207,11 @@ class ExactGP:
         params: Dict[str, jnp.ndarray], n: int,
         noiseless: bool = False, **kwargs,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Mean + n function draws for one posterior sample of hyperparameters."""
+        """Mean + n function draws for one posterior sample of hyperparameters.
+        Uses NaN-proof batched MVN sampling (see ops.linalg.robust_mvn_sample);
+        task-batched posteriors (vExactGP) sample through the same path."""
         y_mean, K = self.get_mvn_posterior(X_new, params, noiseless, **kwargs)
-        y_sampled = mvn_sample_from_cov(rng_key, y_mean, K, n)
+        y_sampled = robust_mvn_sample(rng_key, y_mean, K, n)
         return y_mean, y_sampled
 
     def predict(
@@ -244,7 +246,7 @@ class ExactGP:
 
         y_means, y_sampled = jax.jit(jax.vmap(single))(keys, samples)
         if filter_nans:
-            mask = ~jnp.isnan(y_sampled).any(axis=(1, 2))
+            mask = ~jnp.isnan(y_sampled).any(axis=tuple(range(1, y_sampled.ndim)))
             y_sampled = y_sampled[mask]
         return y_means.mean(0), y_sampled
 

@@ -3,6 +3,7 @@ from .linalg import (
     gp_predictive_mean_var,
     gp_predictive_moments,
     mvn_sample_from_cov,
+    robust_mvn_sample,
     safe_cholesky,
     tri_solve,
 )
@@ -14,4 +15,5 @@ __all__ = [
     "gp_predictive_moments",
     "gp_predictive_mean_var",
     "mvn_sample_from_cov",
+    "robust_mvn_sample",
 ]

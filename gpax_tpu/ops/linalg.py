@@ -25,20 +25,43 @@ from ..config import get_config
 
 def safe_cholesky(K: jnp.ndarray, base_jitter: float = 0.0) -> jnp.ndarray:
     """Cholesky with jitter-escalation fallback.  K is assumed to already include
-    the model's noise/jitter diagonal; ``base_jitter`` scales the escalation ladder
-    (defaults to trace-scaled machine-level jitter)."""
+    the model's noise/jitter diagonal; the escalation ladder is scaled by the mean
+    diagonal so it is meaningful for any kernel output scale (f32-critical)."""
     cfg = get_config()
     n = K.shape[-1]
     if base_jitter == 0.0:
         base_jitter = 1e-6
+    # relative floor: predictive covariances after cancellation carry absolute
+    # errors proportional to the matrix scale, not to 1.0
+    scale = jnp.maximum(jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1), 1e-12)
     eye = jnp.eye(n, dtype=K.dtype)
     L = jnp.linalg.cholesky(K)
     for mult in cfg.cholesky_jitter_schedule[1:]:
         bad = ~jnp.all(jnp.isfinite(L))
-        K_retry = K + (base_jitter * mult) * eye
+        K_retry = K + (base_jitter * mult) * jnp.maximum(1.0, scale)[..., None, None] * eye
         L_retry = jnp.linalg.cholesky(K_retry)
         L = jnp.where(bad, L_retry, L)
     return L
+
+
+def robust_mvn_sample(key, mean: jnp.ndarray, cov: jnp.ndarray, n: int = 1) -> jnp.ndarray:
+    """Draw n samples from N(mean, cov) with guaranteed-finite output.
+
+    Predictive GP covariances (k_pp − k_pX K⁻¹ k_pXᵀ) are frequently numerically
+    indefinite in f32; this symmetrizes, escalates jitter, and — if Cholesky still
+    fails — falls back to independent sampling from the clipped diagonal (slightly
+    underdispersed, never NaN).  The reference simply produces NaNs here
+    (gpax/models/gp.py:292 via numpyro's MVN) and offers filter_nans downstream.
+    """
+    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    L = safe_cholesky(cov)
+    ok = jnp.all(jnp.isfinite(L))
+    diag_L = jnp.zeros_like(cov).at[
+        ..., jnp.arange(cov.shape[-1]), jnp.arange(cov.shape[-1])
+    ].set(jnp.sqrt(jnp.clip(jnp.diagonal(cov, axis1=-2, axis2=-1), 1e-12, None)))
+    L = jnp.where(ok, L, diag_L)
+    eps = jax.random.normal(key, (n,) + mean.shape, dtype=mean.dtype)
+    return mean + jnp.einsum("...ij,s...j->s...i", L, eps)
 
 
 def cho_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:

@@ -2,7 +2,12 @@
 paths are exercised without TPU hardware (the bench harness runs on the real chip).
 
 NOTE: the environment pins JAX_PLATFORMS=axon (the TPU tunnel), so we must override
-both the env var and the already-imported config."""
+both the env var and the already-imported config.
+
+NOTE: do NOT enable the persistent compilation cache here — on this host the
+XLA:CPU AOT loader reports compile/execute machine-feature mismatches and has
+produced silently wrong numerics (NaNs) when loading cached executables.
+"""
 
 import os
 
@@ -14,9 +19,3 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-
-# Persistent compilation cache: the CI box is a single core, so XLA compiles dominate
-# the suite wall-clock; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/gpax_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
