@@ -38,6 +38,7 @@ class viGP(ExactGP):
         self.svi: Optional[SVI] = None
         self.kernel_params: Optional[Dict] = None
         self.loss: Optional[jnp.ndarray] = None
+        self._restored_median: Optional[Dict] = None  # set by checkpoint restore
 
     def fit(self, rng_key, X: jnp.ndarray, y: jnp.ndarray,
             num_steps: int = 1000, step_size: float = 5e-3,
@@ -62,6 +63,8 @@ class viGP(ExactGP):
 
     def get_samples(self) -> Dict[str, jnp.ndarray]:
         """MAP / posterior-median point estimates from the guide."""
+        if self.svi is None and self._restored_median is not None:
+            return self._restored_median
         return self.svi.guide.median(self.kernel_params)
 
     def predict(self, rng_key, X_new: jnp.ndarray,

@@ -1,0 +1,146 @@
+"""Fused Pallas gram-matrix kernels for stationary GP covariances.
+
+One MXU-tiled pass computes, per (TM, TN) output tile:
+
+    cross = Xs @ Zsᵀ                 (MXU)
+    r²    = ‖xs‖² − 2·cross + ‖zs‖²  (VPU, fused)
+    k     = map(r²)                  (RBF / Matérn-5/2 map, VPU)
+    k    += noise_eff on the global diagonal (masked VPU op — no scatter kernel)
+
+and the caller applies the output scale so that the final result equals
+``k_scale · map(r²) + (noise + jitter) · I`` — the reference kernel contract
+(gpax/kernels/kernels.py:44-91, including the same-shape diagonal rule).
+
+XLA fuses the matmul+map adequately, but the diagonal update otherwise lowers to a
+separate scatter kernel; fusing it here removes one full (n, m) HBM round-trip per
+gram build — the op sitting inside every NUTS leapfrog step.
+
+The XLA path in kernels.py remains the fallback (CPU, tiny shapes, custom kernels).
+Parity is tested in tests/test_pallas.py (interpret mode on CPU; compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT5 = math.sqrt(5.0)
+
+TILE_M = 256
+TILE_N = 256
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _gram_kernel(x_ref, z_ref, x2_ref, z2_ref, noise_ref, out_ref, *,
+                 kind: str, add_noise: bool):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    xs = x_ref[:]                       # (TM, d)
+    zs = z_ref[:]                       # (TN, d)
+    cross = jax.lax.dot_general(
+        xs, zs, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    r2 = x2_ref[:] - 2.0 * cross + z2_ref[:].reshape(1, -1)
+    r2 = jnp.maximum(r2, 0.0)
+    if kind == "rbf":
+        k = jnp.exp(-0.5 * r2)
+    elif kind == "matern52":
+        r = jnp.sqrt(jnp.maximum(r2, 1e-10))
+        s5r = _SQRT5 * r
+        k = (1.0 + s5r + (5.0 / 3.0) * r2) * jnp.exp(-s5r)
+    else:
+        raise ValueError(kind)
+
+    if add_noise:
+        tm, tn = k.shape
+        row = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+        diag = (row + i * tm) == (col + j * tn)
+        k = jnp.where(diag, k + noise_ref[:], k)
+    out_ref[:] = k
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "add_noise", "interpret")
+)
+def pallas_gram(Xs: jnp.ndarray, Zs: jnp.ndarray, noise_eff: jnp.ndarray,
+                kind: str = "rbf", add_noise: bool = True,
+                interpret: bool = False) -> jnp.ndarray:
+    """Fused UNSCALED gram for pre-scaled inputs Xs (n, d), Zs (m, d):
+    map(r²) + diag(noise_eff).  Caller multiplies by the output scale."""
+    n, d = Xs.shape
+    m = Zs.shape[0]
+    Xs = Xs.astype(jnp.float32)
+    Zs = Zs.astype(jnp.float32)
+    x2 = jnp.sum(Xs * Xs, axis=-1)
+    z2 = jnp.sum(Zs * Zs, axis=-1)
+
+    tm = min(TILE_M, max(8, 1 << max(3, (n - 1).bit_length())))
+    tn = min(TILE_N, max(128, 1 << max(7, (m - 1).bit_length())))
+    n_pad = pl.cdiv(n, tm) * tm
+    m_pad = pl.cdiv(m, tn) * tn
+    Xp = _pad_to(Xs, n_pad, 0)
+    Zp = _pad_to(Zs, m_pad, 0)
+    x2p = _pad_to(x2, n_pad, 0)[:, None]            # (n_pad, 1)
+    z2p = _pad_to(z2, m_pad, 0)[:, None]            # (m_pad, 1)
+    noise_vec = jnp.broadcast_to(jnp.asarray(noise_eff, jnp.float32), (n,))
+    noise_p = _pad_to(noise_vec, n_pad, 0)[:, None]  # (n_pad, 1)
+
+    grid = (n_pad // tm, m_pad // tn)
+    kernel = functools.partial(_gram_kernel, kind=kind, add_noise=add_noise)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * d + 8 * n_pad * m_pad,
+            bytes_accessed=4 * (n_pad * d + m_pad * d + n_pad * m_pad),
+            transcendentals=n_pad * m_pad,
+        ),
+        interpret=interpret,
+    )(Xp, Zp, x2p, z2p, noise_p)
+    return out[:n, :m]
+
+
+def gram(X: jnp.ndarray, Z: jnp.ndarray, k_length, k_scale, noise,
+         kind: str = "rbf", jitter: float = 1e-6,
+         interpret: bool = False) -> jnp.ndarray:
+    """Kernel-signature-compatible fused gram.
+
+    Computes ``k_scale · map(‖(x−z)/ℓ‖²)`` with ``(noise + jitter)·I`` added when
+    X and Z have the same shape (reference diagonal rule, kernels.py:63-64).
+    The diagonal term is folded through the scale inside the kernel:
+    scale·(map + (noise+jitter)/scale · I) ≡ scale·map + (noise+jitter)·I.
+    """
+    Xs = X / k_length
+    Zs = Z / k_length
+    add_noise = X.shape == Z.shape
+    if add_noise:
+        noise_eff = (jnp.asarray(noise, jnp.float32) + jitter) / k_scale
+    else:
+        noise_eff = jnp.zeros((), jnp.float32)
+    k = pallas_gram(Xs, Zs, noise_eff, kind=kind, add_noise=add_noise,
+                    interpret=interpret)
+    return k_scale * k

@@ -10,8 +10,18 @@ from .utils import (
     split_in_batches,
 )
 from .fn import set_fn, set_kernel_fn, _set_noise_kernel_fn
+from .checkpoint import load_model, load_pytree, save_model, save_pytree
+from .monitor import debug_nans, fit_report, profile, timed
 
 __all__ = [
+    "save_model",
+    "load_model",
+    "save_pytree",
+    "load_pytree",
+    "profile",
+    "timed",
+    "fit_report",
+    "debug_nans",
     "enable_x64",
     "get_keys",
     "split_in_batches",
