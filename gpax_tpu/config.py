@@ -27,15 +27,16 @@ class Config:
             gpax/kernels/kernels.py:24-25).
         matmul_precision: XLA matmul precision for gram construction / solves.
             ``"highest"`` forces full-f32 MXU passes (3-pass bf16) — required for
-            numerically healthy Cholesky factorizations on TPU.
-        cholesky_jitter_schedule: multiplicative jitter escalation ladder used when a
-            Cholesky factorization produces NaNs (standard GP practice; the reference
-            has no equivalent and simply fails).
+            numerically healthy Cholesky factorizations on TPU.  (Cholesky NaN
+            handling itself lives in ops.linalg.safe_cholesky.)
     """
 
     default_jitter: float = 1e-6
     matmul_precision: str = "highest"
-    cholesky_jitter_schedule: tuple = (1.0, 10.0, 100.0, 1000.0)
+    # Fused Pallas gram kernels: 'auto' uses them on TPU for large-enough shapes,
+    # 'always' forces them (interpret-mode on CPU), 'never' keeps pure XLA.
+    use_pallas: str = "auto"
+    pallas_min_elems: int = 128 * 128
 
 
 _config = Config()

@@ -363,7 +363,12 @@ class MultivariateNormal(Distribution):
         if (covariance_matrix is None) == (scale_tril is None):
             raise ValueError("Provide exactly one of covariance_matrix / scale_tril")
         if scale_tril is None:
-            scale_tril = jnp.linalg.cholesky(covariance_matrix)
+            # jitter-escalating Cholesky: an f32 gram that is numerically
+            # indefinite must yield a finite (slightly regularized) likelihood,
+            # not a NaN potential that walls off the posterior mode under NUTS
+            from ..ops.linalg import safe_cholesky
+
+            scale_tril = safe_cholesky(covariance_matrix)
         self.scale_tril = scale_tril
         n = scale_tril.shape[-1]
         self.loc = jnp.broadcast_to(jnp.asarray(loc), _bshape(loc, scale_tril[..., 0]))

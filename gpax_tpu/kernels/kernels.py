@@ -24,9 +24,27 @@ from typing import Callable, Dict, Union
 import jax
 import jax.numpy as jnp
 
+from ..config import get_config
+
 kernel_fn_type = Callable[..., jnp.ndarray]
 
 _SQRT5 = math.sqrt(5.0)
+
+
+def _pallas_eligible(X, Z, params) -> bool:
+    """Dispatch rule for the fused Pallas gram path (ops/pallas_gram.py)."""
+    cfg = get_config()
+    if cfg.use_pallas == "never":
+        return False
+    if X.ndim != 2 or Z.ndim != 2:
+        return False  # batched (vmapped) calls stay on the XLA path
+    if cfg.use_pallas == "always":
+        return True
+    return (
+        jax.default_backend() in ("tpu", "axon")
+        and X.shape[0] * Z.shape[0] >= cfg.pallas_min_elems
+        and X.shape[-1] <= 64
+    )
 
 
 def _add_diag_noise(k, X, Z, noise, jitter):
@@ -40,12 +58,18 @@ def _add_diag_noise(k, X, Z, noise, jitter):
 
 def square_scaled_distance(X: jnp.ndarray, Z: jnp.ndarray,
                            lengthscale: Union[jnp.ndarray, float] = 1.0) -> jnp.ndarray:
-    """‖(x − z) / ℓ‖² for all pairs, in MXU (matmul) form, clipped at 0."""
+    """‖(x − z) / ℓ‖² for all pairs, in MXU (matmul) form, clipped at 0.
+
+    The cross term runs at HIGHEST matmul precision: TPU's default f32 matmul
+    truncates inputs to bf16, whose ~1e-2 relative errors exceed small noise
+    diagonals and render gram matrices numerically indefinite (NaN Cholesky in
+    the likelihood exactly where the posterior concentrates)."""
     Xs = X / lengthscale
     Zs = Z / lengthscale
     x2 = jnp.sum(Xs * Xs, axis=-1)
     z2 = jnp.sum(Zs * Zs, axis=-1)
-    cross = jnp.dot(Xs, Zs.T, preferred_element_type=Xs.dtype)
+    cross = jnp.dot(Xs, Zs.T, preferred_element_type=Xs.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
     r2 = x2[:, None] - 2.0 * cross + z2[None, :]
     return jnp.clip(r2, 0.0, None)
 
@@ -53,7 +77,14 @@ def square_scaled_distance(X: jnp.ndarray, Z: jnp.ndarray,
 def RBFKernel(X: jnp.ndarray, Z: jnp.ndarray, params: Dict[str, jnp.ndarray],
               noise=0, jitter: float = 1e-6, **kwargs) -> jnp.ndarray:
     """Squared-exponential kernel with ARD lengthscales ('k_length') and output
-    scale ('k_scale').  Parity: gpax/kernels/kernels.py:44-65."""
+    scale ('k_scale').  Parity: gpax/kernels/kernels.py:44-65.
+    Dispatches to the fused Pallas gram on TPU for large shapes."""
+    if _pallas_eligible(X, Z, params):
+        from ..ops.pallas_gram import gram
+
+        return gram(X, Z, params["k_length"], params["k_scale"], noise,
+                    kind="rbf", jitter=jitter,
+                    interpret=jax.default_backend() not in ("tpu", "axon"))
     r2 = square_scaled_distance(X, Z, params["k_length"])
     k = params["k_scale"] * jnp.exp(-0.5 * r2)
     return _add_diag_noise(k, X, Z, noise, jitter)
@@ -67,7 +98,14 @@ def MaternKernel(X: jnp.ndarray, Z: jnp.ndarray, params: Dict[str, jnp.ndarray],
     (0.5/sqrt(eps) ≈ 5e5 at r² = 0) amplifies the ±1e-7 rounding noise of the
     matmul-form diagonal distances into optimizer-destabilizing gradient noise on
     TPU/f32.  We use sqrt(max(r², eps)) instead: identical values off-diagonal,
-    exactly-zero gradient below the floor."""
+    exactly-zero gradient below the floor.
+    Dispatches to the fused Pallas gram on TPU for large shapes."""
+    if _pallas_eligible(X, Z, params):
+        from ..ops.pallas_gram import gram
+
+        return gram(X, Z, params["k_length"], params["k_scale"], noise,
+                    kind="matern52", jitter=jitter,
+                    interpret=jax.default_backend() not in ("tpu", "axon"))
     r2 = square_scaled_distance(X, Z, params["k_length"])
     r = jnp.sqrt(jnp.maximum(r2, 1e-10))
     s5r = _SQRT5 * r
@@ -93,7 +131,9 @@ def PeriodicKernel(X: jnp.ndarray, Z: jnp.ndarray, params: Dict[str, jnp.ndarray
 
 def _nngp_base(X, Z, var_b, var_w):
     d = X.shape[-1]
-    return var_b + var_w * jnp.dot(X, Z.T, preferred_element_type=X.dtype) / d
+    return var_b + var_w * jnp.dot(
+        X, Z.T, preferred_element_type=X.dtype, precision=jax.lax.Precision.HIGHEST
+    ) / d
 
 
 def _nngp_base_diag(X, var_b, var_w):

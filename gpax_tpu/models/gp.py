@@ -90,9 +90,14 @@ class ExactGP:
 
     # ------------------------------------------------------------------ model
 
-    def model(self, X: jnp.ndarray, y: Optional[jnp.ndarray] = None, **kwargs) -> None:
+    def model(self, X: jnp.ndarray, y: Optional[jnp.ndarray] = None,
+              noise_mask: Optional[jnp.ndarray] = None, **kwargs) -> None:
         """Generative program: kernel/noise/mean priors + MVN likelihood
-        (structure parity: gpax/models/gp.py:137-164)."""
+        (structure parity: gpax/models/gp.py:137-164).
+
+        ``noise_mask`` (optional, (n,)) is added to the sampled noise on the
+        diagonal; rows padded by bucketed fits carry a huge mask value so they
+        contribute ~zero information (shape-bucketing for active learning)."""
         f_loc = jnp.zeros(X.shape[0])
         if self.kernel_prior:
             kernel_params = self.kernel_prior()
@@ -102,6 +107,8 @@ class ExactGP:
             noise = self.noise_prior()
         else:
             noise = self._sample_noise()
+        if noise_mask is not None:
+            noise = noise + noise_mask
         if self.mean_fn is not None:
             args = [X]
             if self.mean_fn_prior is not None:
@@ -149,12 +156,19 @@ class ExactGP:
         progress_bar: bool = True,
         print_summary: bool = True,
         device=None,
+        pad_to_multiple: Optional[int] = None,
         **kwargs,
     ) -> None:
         """Run NUTS over the GP hyperparameters.
 
         Accepts the same arguments as the reference fit (gpax/models/gp.py:166-218);
         ``**kwargs`` threads ``jitter`` to the kernel.
+
+        ``pad_to_multiple``: bucket the training-set size by padding to the next
+        multiple with effectively-ignored rows (noise 1e6 on their diagonal).
+        Active-learning loops that add one point per iteration then reuse ONE
+        compiled NUTS program per bucket instead of recompiling every step.
+        Prediction always uses the unpadded data.
         """
         X, y = self._set_data(X, y)
         if device:
@@ -162,6 +176,27 @@ class ExactGP:
             y = jax.device_put(y, device)
         self.X_train = X
         self.y_train = y
+
+        fit_args = (X, y)
+        if pad_to_multiple:
+            n = X.shape[0]
+            pad = (-n) % pad_to_multiple
+            if pad:
+                # pad FAR outside the data so the gram is block-diagonal in the
+                # padded rows (stationary kernels: cross-covariance ~ 0), with a
+                # moderate masked noise — keeps the diagonal scale homogeneous
+                # for the f32 Cholesky regularization heuristics
+                span = jnp.max(X, axis=0) - jnp.min(X, axis=0) + 1.0
+                far = jnp.max(X, axis=0) + 1e3 * span
+                X_pad = jnp.broadcast_to(far, (pad, X.shape[1])) + jnp.arange(
+                    pad, dtype=X.dtype
+                )[:, None] * span
+                X_fit = jnp.concatenate([X, X_pad], axis=0)
+                y_fit = jnp.concatenate([y, jnp.zeros((pad,), y.dtype)])
+                noise_mask = jnp.concatenate(
+                    [jnp.zeros((n,), X.dtype), jnp.full((pad,), 1e2, X.dtype)]
+                )
+                fit_args = (X_fit, y_fit, noise_mask)
 
         self.mcmc = MCMC(
             NUTS(self.model, init_strategy="median"),
@@ -171,7 +206,7 @@ class ExactGP:
             chain_method=chain_method,
             progress_bar=progress_bar,
         )
-        self.mcmc.run(rng_key, X, y, **kwargs)
+        self.mcmc.run(rng_key, *fit_args, **kwargs)
         if print_summary:
             self._print_summary()
 

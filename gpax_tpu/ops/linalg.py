@@ -20,28 +20,38 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from ..config import get_config
-
 
 def safe_cholesky(K: jnp.ndarray, base_jitter: float = 0.0) -> jnp.ndarray:
-    """Cholesky with jitter-escalation fallback.  K is assumed to already include
-    the model's noise/jitter diagonal; the escalation ladder is scaled by the mean
-    diagonal so it is meaningful for any kernel output scale (f32-critical)."""
-    cfg = get_config()
+    """NaN-proof, gradient-safe Cholesky for f32 GP grams on TPU.
+
+    f32 Cholesky error grows like n·eps·‖K‖, so large low-rank grams routinely
+    fail to factor even when mathematically PD (the reference leans on f64-on-CPU;
+    SURVEY.md hard part #4).  Strategy:
+
+      1. always add a deterministic n-scaled regularization
+         j_base = 4·n·eps·scale (≈4e-6·scale at n=8, ≈1e-3·scale at n=2048) —
+         below the f32 resolution of the factorization itself;
+      2. probe factorability once under stop_gradient; if the probe fails,
+         escalate to j_big = 0.05·scale (a smooth extra-noise regularization,
+         infinitely better than a NaN potential walling off the posterior mode).
+
+    The differentiable Cholesky runs exactly once, on an operand that is PSD by
+    construction — so gradients never see a failed factorization.  (A plain
+    where()-retry is NOT gradient-safe: the untaken NaN branch poisons the VJP.)
+    """
     n = K.shape[-1]
-    if base_jitter == 0.0:
-        base_jitter = 1e-6
-    # relative floor: predictive covariances after cancellation carry absolute
-    # errors proportional to the matrix scale, not to 1.0
+    dtype_eps = jnp.finfo(K.dtype).eps
     scale = jnp.maximum(jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1), 1e-12)
     eye = jnp.eye(n, dtype=K.dtype)
-    L = jnp.linalg.cholesky(K)
-    for mult in cfg.cholesky_jitter_schedule[1:]:
-        bad = ~jnp.all(jnp.isfinite(L))
-        K_retry = K + (base_jitter * mult) * jnp.maximum(1.0, scale)[..., None, None] * eye
-        L_retry = jnp.linalg.cholesky(K_retry)
-        L = jnp.where(bad, L_retry, L)
-    return L
+    j_base = jnp.maximum(4.0 * n * dtype_eps, base_jitter) * scale
+    # escalation must also track n·eps growth: 0.05 is not enough at n ≳ 2k
+    j_big = jnp.maximum(0.05, 1000.0 * n * dtype_eps) * scale
+
+    Kp = jax.lax.stop_gradient(K)
+    L_probe = jnp.linalg.cholesky(Kp + j_base[..., None, None] * eye)
+    ok = jnp.all(jnp.isfinite(L_probe), axis=(-2, -1))
+    j = jnp.where(ok, j_base, j_big)
+    return jnp.linalg.cholesky(K + j[..., None, None] * eye)
 
 
 def robust_mvn_sample(key, mean: jnp.ndarray, cov: jnp.ndarray, n: int = 1) -> jnp.ndarray:

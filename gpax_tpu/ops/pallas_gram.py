@@ -53,6 +53,8 @@ def _gram_kernel(x_ref, z_ref, x2_ref, z2_ref, noise_ref, out_ref, *,
     cross = jax.lax.dot_general(
         xs, zs, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU passes: bf16 errors
+        # exceed small noise diagonals and break the downstream Cholesky
     )
     r2 = x2_ref[:] - 2.0 * cross + z2_ref[:].reshape(1, -1)
     r2 = jnp.maximum(r2, 0.0)
@@ -124,6 +126,59 @@ def pallas_gram(Xs: jnp.ndarray, Zs: jnp.ndarray, noise_eff: jnp.ndarray,
     return out[:n, :m]
 
 
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: custom VJP so the fused kernel can sit inside the
+# NUTS/SVI hot loop.  The backward pass is pure matmul math (XLA fuses it well):
+#   r² = ‖xs‖² − 2·Xs Zsᵀ + ‖zs‖²,  w = ḡ ∘ map'(r²)
+#   dXs = 2·(rowsum(w)·Xs − w Zs),  dZs = 2·(colsum(w)·Zs − wᵀ Xs)
+#   dnoise_eff = diag(ḡ)
+# with map'(r²) = −½·map(r²) for RBF and −(5/6)(1+√5 r)e^(−√5 r) for Matérn-5/2.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def pallas_gram_ad(Xs, Zs, noise_eff, kind: str = "rbf", add_noise: bool = True,
+                   interpret: bool = False):
+    return pallas_gram(Xs, Zs, noise_eff, kind=kind, add_noise=add_noise,
+                       interpret=interpret)
+
+
+def _pallas_gram_fwd(Xs, Zs, noise_eff, kind, add_noise, interpret):
+    out = pallas_gram(Xs, Zs, noise_eff, kind=kind, add_noise=add_noise,
+                      interpret=interpret)
+    return out, (Xs, Zs)
+
+
+def _pallas_gram_bwd(kind, add_noise, interpret, res, g):
+    Xs, Zs = res
+    x2 = jnp.sum(Xs * Xs, axis=-1)
+    z2 = jnp.sum(Zs * Zs, axis=-1)
+    cross = jnp.dot(Xs, Zs.T, preferred_element_type=Xs.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+    r2 = jnp.maximum(x2[:, None] - 2.0 * cross + z2[None, :], 0.0)
+    if kind == "rbf":
+        dmap = -0.5 * jnp.exp(-0.5 * r2)
+    elif kind == "matern52":
+        r = jnp.sqrt(jnp.maximum(r2, 1e-10))
+        s5r = _SQRT5 * r
+        dmap = jnp.where(r2 > 1e-10, -(5.0 / 6.0) * (1.0 + s5r) * jnp.exp(-s5r), 0.0)
+    else:
+        raise ValueError(kind)
+    w = g * dmap
+    hi = jax.lax.Precision.HIGHEST
+    dXs = 2.0 * (w.sum(axis=1, keepdims=True) * Xs - jnp.matmul(w, Zs, precision=hi))
+    dZs = 2.0 * (w.sum(axis=0)[:, None] * Zs - jnp.matmul(w.T, Xs, precision=hi))
+    n = Xs.shape[0]
+    if add_noise:
+        dnoise = jnp.diagonal(g)[: min(n, Zs.shape[0])]
+        dnoise = jnp.pad(dnoise, (0, n - dnoise.shape[0]))
+    else:
+        dnoise = jnp.zeros((n,), Xs.dtype)
+    return dXs, dZs, dnoise
+
+
+pallas_gram_ad.defvjp(_pallas_gram_fwd, _pallas_gram_bwd)
+
+
 def gram(X: jnp.ndarray, Z: jnp.ndarray, k_length, k_scale, noise,
          kind: str = "rbf", jitter: float = 1e-6,
          interpret: bool = False) -> jnp.ndarray:
@@ -134,13 +189,15 @@ def gram(X: jnp.ndarray, Z: jnp.ndarray, k_length, k_scale, noise,
     The diagonal term is folded through the scale inside the kernel:
     scale·(map + (noise+jitter)/scale · I) ≡ scale·map + (noise+jitter)·I.
     """
-    Xs = X / k_length
-    Zs = Z / k_length
+    Xs = (X / k_length).astype(jnp.float32)
+    Zs = (Z / k_length).astype(jnp.float32)
     add_noise = X.shape == Z.shape
+    n = X.shape[0]
     if add_noise:
-        noise_eff = (jnp.asarray(noise, jnp.float32) + jitter) / k_scale
+        noise_eff = jnp.broadcast_to(
+            (jnp.asarray(noise, jnp.float32) + jitter) / k_scale, (n,)
+        ).astype(jnp.float32)
     else:
-        noise_eff = jnp.zeros((), jnp.float32)
-    k = pallas_gram(Xs, Zs, noise_eff, kind=kind, add_noise=add_noise,
-                    interpret=interpret)
+        noise_eff = jnp.zeros((n,), jnp.float32)
+    k = pallas_gram_ad(Xs, Zs, noise_eff, kind, add_noise, interpret)
     return k_scale * k

@@ -185,3 +185,24 @@ def test_custom_noise_prior_dist():
     assert (noise > 0).all()
     # tight prior keeps noise small
     assert noise.mean() < 0.5
+
+
+def test_bucketed_fit_matches_unpadded():
+    """pad_to_multiple adds ignored rows: posterior ~ unpadded posterior."""
+    X, y = get_dummy_data()
+    m1 = ExactGP(1, "RBF")
+    m1.fit(get_keys()[0], X, y, num_warmup=100, num_samples=100,
+           print_summary=False, progress_bar=False)
+    m2 = ExactGP(1, "RBF")
+    m2.fit(get_keys()[0], X, y, num_warmup=100, num_samples=100,
+           print_summary=False, progress_bar=False, pad_to_multiple=16)
+    # training data stored unpadded
+    assert m2.X_train.shape == (8, 1)
+    s1, s2 = m1.get_samples(), m2.get_samples()
+    # same posterior within MC error (different trajectories, same target)
+    for k in ("k_length", "noise"):
+        a, b = np.asarray(s1[k]).mean(), np.asarray(s2[k]).mean()
+        assert abs(a - b) / (abs(a) + 1e-6) < 0.5, (k, a, b)
+    # prediction uses unpadded data and is finite
+    mean, _ = m2.predict(get_keys()[1], jnp.linspace(-1, 1, 9))
+    assert np.isfinite(np.asarray(mean)).all()

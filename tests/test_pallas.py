@@ -37,6 +37,46 @@ def test_pallas_gram_vector_noise():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("kind,ref_kernel", [("rbf", RBFKernel), ("matern52", MaternKernel)])
+def test_pallas_gram_gradients_match_xla(kind, ref_kernel):
+    """custom-VJP backward must agree with XLA autodiff for all three params."""
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(20, 2)), jnp.float32)
+    noise = jnp.asarray(0.2, jnp.float32)
+    args = (jnp.asarray([0.8, 1.3]), jnp.asarray(1.5), noise)
+
+    def loss_p(kl, ks, nz):
+        return jnp.sum(jnp.sin(gram(X, X, kl, ks, nz, kind=kind, interpret=True)))
+
+    def loss_x(kl, ks, nz):
+        return jnp.sum(jnp.sin(ref_kernel(X, X, {"k_length": kl, "k_scale": ks}, nz)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(*args)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(*args)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+
+def test_pallas_gram_vmap_and_vmap_grad():
+    """Sample-batched (vmapped) grams and their grads — the predict fan-out path."""
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(16, 2)), jnp.float32)
+    noise = jnp.asarray(0.2, jnp.float32)
+    kls = jnp.asarray(rng.uniform(0.5, 2.0, (4, 2)), jnp.float32)
+    vm_p = jax.vmap(
+        lambda kl: gram(X, X, kl, jnp.asarray(1.0), noise, kind="rbf", interpret=True)
+    )(kls)
+    vm_x = jax.vmap(
+        lambda kl: RBFKernel(X, X, {"k_length": kl, "k_scale": jnp.asarray(1.0)}, noise)
+    )(kls)
+    np.testing.assert_allclose(np.asarray(vm_p), np.asarray(vm_x), rtol=2e-5, atol=2e-5)
+    gv = jax.vmap(jax.grad(
+        lambda kl: jnp.sum(gram(X, X, kl, jnp.asarray(1.0), noise, kind="rbf", interpret=True))
+    ))(kls)
+    assert gv.shape == (4, 2)
+    assert np.isfinite(np.asarray(gv)).all()
+
+
 def test_pallas_gram_cross_no_noise():
     """Cross-covariance (different shapes) must NOT get the diagonal noise."""
     rng = np.random.default_rng(2)
