@@ -22,8 +22,15 @@ from .penalties import compute_penalty
 
 def _compute_mean_and_var(rng_key, model, X, n, noiseless, **kwargs
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Predictive moments: HMC models flatten (samples × draws) into one pair."""
+    """Predictive moments of the fully-Bayesian mixture.
+
+    The reference estimates these by drawing n MVN function samples per HMC draw
+    and flattening (acquisition.py:22-35) — O(S·(n³+m³)) and stochastic.  When the
+    model provides exact closed-form mixture moments (``predict_moments``), use
+    them: same quantity, deterministic, O(S·n²·m)."""
     if getattr(model, "mcmc", None) is not None:
+        if getattr(model, "_exact_moments_ok", False) and hasattr(model, "predict_moments"):
+            return model.predict_moments(rng_key, X, noiseless=noiseless, **kwargs)
         _, y_sampled = model.predict(rng_key, X, n=n, noiseless=noiseless, **kwargs)
         y_sampled = y_sampled.reshape(-1, y_sampled.shape[-1])
         return y_sampled.mean(0), y_sampled.var(0)

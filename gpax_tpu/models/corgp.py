@@ -21,6 +21,8 @@ from .gp import ExactGP
 class CoregGP(ExactGP):
     """Simple coregionalized multi-task GP."""
 
+    _exact_moments_ok = False  # per-task noise vector
+
     def __init__(self, input_dim: int, data_kernel="RBF",
                  mean_fn: Optional[Callable] = None,
                  data_kernel_prior: Optional[Callable] = None,

@@ -72,6 +72,8 @@ def get_mlp_prior(input_dim: int, output_dim: int, architecture: List[int]) -> C
 class DKL(ExactGP):
     """HMC-trained deep kernel learning: GP over a Bayesian-MLP embedding."""
 
+    _exact_moments_ok = False  # posterior uses the NN embedding
+
     def __init__(self, input_dim: int, z_dim: int = 2, kernel="RBF",
                  kernel_prior: Optional[Callable] = None,
                  nn: Optional[Callable] = None,

@@ -38,6 +38,11 @@ kernel_fn_type = Callable[..., jnp.ndarray]
 class ExactGP:
     """Fully Bayesian exact GP.
 
+    Class attribute ``_exact_moments_ok``: subclasses whose posterior math departs
+    from the plain-GP form (NN embeddings, latent inputs, per-task noise, ...)
+    set this False so the acquisition layer falls back to the sampled-moments path
+    instead of using the closed-form mixture moments.
+
     Args:
         input_dim: number of input feature dimensions (ARD lengthscale size).
         kernel: 'RBF' | 'Matern' | 'Periodic' | 'NNGP' or a custom kernel callable
@@ -51,6 +56,8 @@ class ExactGP:
         lengthscale_prior_dist: prior distribution over kernel lengthscales
             (default LogNormal(0, 1)).
     """
+
+    _exact_moments_ok = True
 
     def __init__(
         self,
@@ -347,6 +354,53 @@ class ExactGP:
         y_pred = jnp.concatenate(y_pred, 0)
         y_sampled = jnp.concatenate(y_sampled, -1)
         return y_pred, y_sampled
+
+    def get_predictive_mean_var(self, X_new: jnp.ndarray, params: Dict[str, jnp.ndarray],
+                                noiseless: bool = False, **kwargs
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(mean, DIAGONAL variance) for one posterior draw — O(n²m), never builds
+        the m×m test covariance.  The diagonal k(x*,x*) is computed by a vmapped
+        1×1 kernel evaluation (O(m·d))."""
+        jitter = kwargs.get("jitter", 1e-6)
+        noise = params["noise"]
+        noise_p = noise * (1 - jnp.asarray(noiseless, int))
+        y_residual = self.y_train
+        if self.mean_fn is not None:
+            args = [self.X_train, params] if self.mean_fn_prior else [self.X_train]
+            y_residual = y_residual - self.mean_fn(*args).squeeze()
+        k_pX = self.kernel(X_new, self.X_train, params, jitter=0.0)
+        k_XX = self.kernel(self.X_train, self.X_train, params, noise, **kwargs)
+        k_pp_diag = jax.vmap(
+            lambda x: self.kernel(x[None], x[None], params, jitter=0.0)[0, 0]
+        )(X_new) + noise_p + jitter
+        from ..ops.linalg import gp_predictive_mean_var
+
+        mean, var = gp_predictive_mean_var(k_XX, k_pX, k_pp_diag, y_residual)
+        if self.mean_fn is not None:
+            args = [X_new, params] if self.mean_fn_prior else [X_new]
+            mean = mean + self.mean_fn(*args).squeeze()
+        return mean, var
+
+    def predict_moments(self, rng_key, X_new: jnp.ndarray,
+                        samples: Optional[Dict[str, jnp.ndarray]] = None,
+                        noiseless: bool = False, **kwargs
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """EXACT moments of the fully-Bayesian predictive mixture:
+        mean = E_s[mean_s],  var = E_s[var_s] + Var_s[mean_s].
+
+        This is what the reference estimates by drawing MVN function samples per
+        posterior draw (acquisition.py:22-35) — but closed-form, deterministic,
+        and O(S·n²·m) instead of O(S·(n³+m³)).  Used by the acquisition layer.
+        """
+        X_new = self._set_data(X_new)
+        if samples is None:
+            samples = self.get_samples(chain_dim=False)
+
+        def single(params):
+            return self.get_predictive_mean_var(X_new, params, noiseless, **kwargs)
+
+        means, variances = jax.jit(jax.vmap(single))(samples)
+        return means.mean(0), variances.mean(0) + means.var(0)
 
     def sample_from_prior(self, rng_key: jnp.ndarray, X: jnp.ndarray,
                           num_samples: int = 10) -> jnp.ndarray:

@@ -28,6 +28,8 @@ kernel_fn_type = Callable[..., jnp.ndarray]
 class VarNoiseGP(ExactGP):
     """GP with input-dependent (GP-modeled) observational noise."""
 
+    _exact_moments_ok = False  # noise is a latent field, not params["noise"]
+
     def __init__(self, input_dim: int, kernel: Union[str, kernel_fn_type],
                  noise_kernel: Union[str, kernel_fn_type] = "RBF",
                  mean_fn: Optional[Callable] = None,

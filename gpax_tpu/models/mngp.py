@@ -28,6 +28,8 @@ kernel_fn_type = Callable[..., jnp.ndarray]
 class MeasuredNoiseGP(ExactGP):
     """GP whose training-data noise variances were measured, not inferred."""
 
+    _exact_moments_ok = False  # measured noise enters the train covariance
+
     def __init__(self, input_dim: int, kernel: Union[str, kernel_fn_type] = "RBF",
                  mean_fn: Optional[Callable] = None,
                  kernel_prior: Optional[Callable] = None,

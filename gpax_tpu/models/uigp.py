@@ -24,6 +24,8 @@ kernel_fn_type = Callable[..., jnp.ndarray]
 class UIGP(ExactGP):
     """Uncertain-input GP."""
 
+    _exact_moments_ok = False  # posterior uses the latent inputs X_prime
+
     def __init__(self, input_dim: int, kernel: Union[str, kernel_fn_type] = "RBF",
                  mean_fn: Optional[Callable] = None,
                  kernel_prior: Optional[Callable] = None,

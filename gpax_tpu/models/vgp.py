@@ -21,6 +21,8 @@ from .gp import ExactGP
 class vExactGP(ExactGP):
     """Exact GP over vector-valued targets with a leading task dimension."""
 
+    _exact_moments_ok = False  # task-batched data layout
+
     def __init__(self, input_dim: int, kernel="RBF",
                  mean_fn: Optional[Callable] = None,
                  kernel_prior: Optional[Callable] = None,

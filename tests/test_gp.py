@@ -206,3 +206,13 @@ def test_bucketed_fit_matches_unpadded():
     # prediction uses unpadded data and is finite
     mean, _ = m2.predict(get_keys()[1], jnp.linspace(-1, 1, 9))
     assert np.isfinite(np.asarray(mean)).all()
+
+
+def test_predict_moments_matches_sampled(fitted_gp):
+    """Closed-form mixture moments == large-n sampled moments."""
+    X_new = jnp.linspace(-1, 1, 15)
+    mean_exact, var_exact = fitted_gp.predict_moments(get_keys()[1], X_new)
+    _, y_sampled = fitted_gp.predict(get_keys()[1], X_new, n=200)
+    flat = np.asarray(y_sampled).reshape(-1, 15)
+    np.testing.assert_allclose(np.asarray(mean_exact), flat.mean(0), rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(var_exact), flat.var(0), rtol=0.25, atol=0.02)
