@@ -283,10 +283,22 @@ class ExactGP:
         num_samples = len(next(iter(samples.values())))
         keys = jra.split(rng_key, num_samples)
 
-        def single(key, params):
+        def single(args):
+            key, params = args
             return self._predict(key, X_new, params, n, noiseless, **kwargs)
 
-        y_means, y_sampled = jax.jit(jax.vmap(single))(keys, samples)
+        # chunk the sample axis: a full vmap materializes S x (n² + m²) grams,
+        # which exceeds HBM for production S; lax.map(batch_size) runs vmapped
+        # chunks sequentially with bounded live memory
+        bytes_per = 4 * (
+            self.X_train.shape[0] ** 2
+            + 2 * self.X_train.shape[0] * X_new.shape[0]
+            + 2 * X_new.shape[0] ** 2
+        )
+        cs = int(max(1, min(num_samples, (1 << 31) // max(bytes_per, 1))))
+        y_means, y_sampled = jax.jit(
+            lambda ks, ss: jax.lax.map(single, (ks, ss), batch_size=cs)
+        )(keys, samples)
         if filter_nans:
             mask = ~jnp.isnan(y_sampled).any(axis=tuple(range(1, y_sampled.ndim)))
             y_sampled = y_sampled[mask]
@@ -395,11 +407,18 @@ class ExactGP:
         X_new = self._set_data(X_new)
         if samples is None:
             samples = self.get_samples(chain_dim=False)
+        num_samples = len(next(iter(samples.values())))
 
         def single(params):
             return self.get_predictive_mean_var(X_new, params, noiseless, **kwargs)
 
-        means, variances = jax.jit(jax.vmap(single))(samples)
+        bytes_per = 4 * (
+            self.X_train.shape[0] ** 2 + 2 * self.X_train.shape[0] * X_new.shape[0]
+        )
+        cs = int(max(1, min(num_samples, (1 << 31) // max(bytes_per, 1))))
+        means, variances = jax.jit(
+            lambda ss: jax.lax.map(single, ss, batch_size=cs)
+        )(samples)
         return means.mean(0), variances.mean(0) + means.var(0)
 
     def sample_from_prior(self, rng_key: jnp.ndarray, X: jnp.ndarray,
