@@ -42,6 +42,15 @@ class Config:
 _config = Config()
 
 
+def _apply_matmul_precision(cfg: Config) -> None:
+    # Library-wide policy: GP numerics on TPU need true-f32 matmuls EVERYWHERE in
+    # the hot path — including inside XLA's Cholesky expansion and triangular
+    # solves, which have no per-op precision knob.  bf16-truncated defaults both
+    # destabilize factorization (n·eps·|K| error) and degrade HMC gradient
+    # accuracy (acceptance collapse).
+    jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
+
+
 def get_config() -> Config:
     return _config
 
@@ -49,7 +58,11 @@ def get_config() -> Config:
 def set_config(**kwargs) -> Config:
     global _config
     _config = dataclasses.replace(_config, **kwargs)
+    _apply_matmul_precision(_config)
     return _config
+
+
+_apply_matmul_precision(_config)
 
 
 def enable_x64(use_x64: bool = True) -> None:

@@ -188,24 +188,26 @@ def test_custom_noise_prior_dist():
 
 
 def test_bucketed_fit_matches_unpadded():
-    """pad_to_multiple adds ignored rows: posterior ~ unpadded posterior."""
-    X, y = get_dummy_data()
+    """pad_to_multiple adds ignored rows: predictions ~ unpadded predictions.
+
+    (Hyperparameter posterior means at n=8 are too weakly identified to compare
+    across chains; predictive means are the meaningful invariant.)"""
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.uniform(-1, 1, 24), jnp.float32)
+    y = jnp.asarray(np.sin(3 * np.asarray(X)) + 0.05 * rng.normal(size=24), jnp.float32)
+    Xt = jnp.linspace(-1, 1, 11)
     m1 = ExactGP(1, "RBF")
-    m1.fit(get_keys()[0], X, y, num_warmup=100, num_samples=100,
+    m1.fit(get_keys()[0], X, y, num_warmup=200, num_samples=200,
            print_summary=False, progress_bar=False)
     m2 = ExactGP(1, "RBF")
-    m2.fit(get_keys()[0], X, y, num_warmup=100, num_samples=100,
-           print_summary=False, progress_bar=False, pad_to_multiple=16)
+    m2.fit(get_keys()[0], X, y, num_warmup=200, num_samples=200,
+           print_summary=False, progress_bar=False, pad_to_multiple=32)
     # training data stored unpadded
-    assert m2.X_train.shape == (8, 1)
-    s1, s2 = m1.get_samples(), m2.get_samples()
-    # same posterior within MC error (different trajectories, same target)
-    for k in ("k_length", "noise"):
-        a, b = np.asarray(s1[k]).mean(), np.asarray(s2[k]).mean()
-        assert abs(a - b) / (abs(a) + 1e-6) < 0.5, (k, a, b)
-    # prediction uses unpadded data and is finite
-    mean, _ = m2.predict(get_keys()[1], jnp.linspace(-1, 1, 9))
-    assert np.isfinite(np.asarray(mean)).all()
+    assert m2.X_train.shape == (24, 1)
+    mean1, _ = m1.predict(get_keys()[1], Xt, noiseless=True)
+    mean2, _ = m2.predict(get_keys()[1], Xt, noiseless=True)
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean2), atol=0.1)
+    assert np.isfinite(np.asarray(mean2)).all()
 
 
 def test_predict_moments_matches_sampled(fitted_gp):
