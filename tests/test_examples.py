@@ -14,6 +14,10 @@ EXAMPLES = [
     "vidkl_active_learning.py",
     "multitask_bo.py",
     "hypothesis_learning.py",
+    "sparse_gp_reconstruction.py",
+    "heteroskedastic_gp.py",
+    "uncertain_inputs.py",
+    "measured_noise_gp.py",
 ]
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")

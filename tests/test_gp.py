@@ -218,3 +218,23 @@ def test_predict_moments_matches_sampled(fitted_gp):
     flat = np.asarray(y_sampled).reshape(-1, 15)
     np.testing.assert_allclose(np.asarray(mean_exact), flat.mean(0), rtol=0.05, atol=0.02)
     np.testing.assert_allclose(np.asarray(var_exact), flat.var(0), rtol=0.25, atol=0.02)
+
+
+def test_fit_under_x64(monkeypatch):
+    """enable_x64 parity: the whole stack must run in double precision too."""
+    import gpax_tpu
+
+    gpax_tpu.enable_x64(True)
+    try:
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.uniform(-1, 1, 10))
+        y = jnp.asarray(np.sin(3 * np.asarray(X)))
+        m = ExactGP(1, "RBF")
+        m.fit(get_keys()[0], X, y, num_warmup=50, num_samples=50,
+              print_summary=False, progress_bar=False)
+        s = m.get_samples()
+        assert s["noise"].dtype == jnp.float64
+        mean, _ = m.predict(get_keys()[1], X)
+        assert np.isfinite(np.asarray(mean)).all()
+    finally:
+        gpax_tpu.enable_x64(False)
