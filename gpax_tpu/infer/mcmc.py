@@ -30,13 +30,17 @@ from .nuts import NUTS, run_nuts
 class MCMC:
     def __init__(self, kernel: NUTS, num_warmup: int = 2000, num_samples: int = 2000,
                  num_chains: int = 1, chain_method: str = "sequential",
-                 progress_bar: bool = False, jit_model_args: bool = False):
+                 progress_bar: bool = False, jit_model_args: bool = False,
+                 segment_size: Optional[int] = None):
         self.kernel = kernel
         self.num_warmup = num_warmup
         self.num_samples = num_samples
         self.num_chains = num_chains
         self.chain_method = chain_method
         self.progress_bar = progress_bar  # accepted for API parity; sampling is one jit
+        # segment_size: execute the sampler in bounded Python-driven segments
+        # (single-chain only) — progress reporting + bounded device executions
+        self.segment_size = segment_size
         self._samples_by_chain: Optional[Dict[str, jnp.ndarray]] = None
         self._stats: Optional[Dict[str, jnp.ndarray]] = None
         self._model_args = ()
@@ -77,7 +81,21 @@ class MCMC:
         init_keys = jax.random.split(jax.random.fold_in(key_run, 7), self.num_chains)
         chain_ids = jnp.arange(self.num_chains)
 
-        if self.num_chains == 1:
+        if self.num_chains == 1 and self.segment_size:
+            from .nuts import run_nuts_segmented
+
+            zs_1, stats_1, _ = run_nuts_segmented(
+                info.potential_fn, init_z, chain_keys[0],
+                num_warmup=self.num_warmup, num_samples=self.num_samples,
+                segment_size=self.segment_size,
+                max_tree_depth=self.kernel.max_tree_depth,
+                target_accept_prob=self.kernel.target_accept_prob,
+                init_step_size=self.kernel.step_size,
+                progress=self.progress_bar,
+            )
+            zs = zs_1[None]
+            stats = jax.tree_util.tree_map(lambda x: x[None], stats_1)
+        elif self.num_chains == 1:
             z0 = jax.tree_util.tree_map(lambda x: x[None], init_z)
             zs, stats = jax.jit(jax.vmap(one_chain))(
                 chain_keys, z0

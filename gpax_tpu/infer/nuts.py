@@ -344,14 +344,39 @@ def run_nuts(
         energy=u0,
     )
 
+    xs = _warmup_xs(num_warmup, num_samples)
+    step_fn = _make_step_fn(
+        potential_grad, max_tree_depth, target_accept_prob, eps0,
+        num_warmup, dim, dtype,
+    )
+
+    da0 = da_init(eps0)
+    wf0 = welford_init(dim, dtype)
+    (state, da, _), (zs, stats) = jax.lax.scan(
+        step_fn, (state0, da0, wf0), xs, length=num_warmup + num_samples,
+    )
+    if not collect_warmup:
+        zs = zs[num_warmup:]
+        stats = {k: v[num_warmup:] for k, v in stats.items()}
+    return zs, stats, unravel
+
+
+def _warmup_xs(num_warmup: int, num_samples: int):
+    """Per-step adaptation flags for the warmup+sampling scan."""
     in_window, window_end = warmup_schedule(num_warmup)
     total = num_warmup + num_samples
     is_warmup = jnp.arange(total) < num_warmup
     is_warmup_next = jnp.arange(1, total + 1) < num_warmup
     in_window = jnp.concatenate([in_window, jnp.zeros((num_samples,), bool)])
     window_end = jnp.concatenate([window_end, jnp.zeros((num_samples,), bool)])
+    return is_warmup, is_warmup_next, in_window, window_end
 
-    # ONE scan over warmup + sampling so the (expensive) nuts_step traces once.
+
+def _make_step_fn(potential_grad, max_tree_depth, target_accept_prob, eps0,
+                  num_warmup, dim, dtype):
+    """One NUTS transition + adaptation bookkeeping, shaped for lax.scan.
+    The (expensive) nuts_step traces exactly once per compiled program."""
+
     def step_fn(carry, xs):
         state, da, wf = carry
         warm, warm_next, in_win, win_end = xs
@@ -391,13 +416,84 @@ def run_nuts(
         }
         return (state, da, wf), (state.z, stats)
 
-    da0 = da_init(eps0)
-    wf0 = welford_init(dim, dtype)
-    (state, da, _), (zs, stats) = jax.lax.scan(
-        step_fn, (state0, da0, wf0), (is_warmup, is_warmup_next, in_window, window_end),
-        length=total,
+    return step_fn
+
+
+def run_nuts_segmented(
+    potential_fn: Callable,
+    init_unconstrained,
+    rng_key,
+    num_warmup: int,
+    num_samples: int,
+    segment_size: int = 50,
+    max_tree_depth: int = 10,
+    target_accept_prob: float = 0.8,
+    init_step_size: float = 1.0,
+    progress: bool = False,
+):
+    """Warmup + sampling executed in Python-driven segments of ``segment_size``
+    NUTS transitions, carrying (state, adaptation) between device calls.
+
+    Identical math to :func:`run_nuts`, but each device execution is bounded —
+    required where very long single executions hit runtime limits (large n), and
+    it provides progress reporting and a natural mid-run checkpoint boundary.
+    Returns (flat samples (num_samples, dim), stats dict, unravel_fn).
+    """
+    import numpy as onp
+
+    z0_flat, unravel = ravel_pytree(init_unconstrained)
+    dim = z0_flat.shape[0]
+    dtype = z0_flat.dtype
+
+    def pot_flat(zf):
+        return potential_fn(unravel(zf))
+
+    potential_grad = jax.value_and_grad(pot_flat)
+
+    inv_mass0 = jnp.ones((dim,), dtype)
+    k_eps, k_run = jax.random.split(rng_key)
+    eps0 = jax.jit(
+        lambda k: find_reasonable_step_size(potential_grad, z0_flat, inv_mass0, k, init_step_size)
+    )(k_eps)
+    u0, g0 = jax.jit(potential_grad)(z0_flat)
+    state0 = NUTSState(
+        z=z0_flat, potential=u0, grad=g0, step_size=eps0, inv_mass=inv_mass0,
+        rng_key=k_run, accept_prob=jnp.zeros((), dtype),
+        num_steps=jnp.zeros((), jnp.int32), diverging=jnp.asarray(False),
+        energy=u0,
     )
-    if not collect_warmup:
-        zs = zs[num_warmup:]
-        stats = {k: v[num_warmup:] for k, v in stats.items()}
+
+    step_fn = _make_step_fn(
+        potential_grad, max_tree_depth, target_accept_prob, eps0,
+        num_warmup, dim, dtype,
+    )
+    seg_scan = jax.jit(
+        lambda carry, xs: jax.lax.scan(step_fn, carry, xs, length=segment_size)
+    )
+
+    total = num_warmup + num_samples
+    pad = (-total) % segment_size
+    xs_np = [onp.asarray(x) for x in _warmup_xs(num_warmup, num_samples)]
+    xs_np = [onp.concatenate([x, onp.zeros(pad, bool)]) for x in xs_np]
+
+    carry = (state0, da_init(eps0), welford_init(dim, dtype))
+    zs_parts, stats_parts = [], []
+    n_segments = (total + pad) // segment_size
+    for s in range(n_segments):
+        sl = slice(s * segment_size, (s + 1) * segment_size)
+        xs_seg = tuple(jnp.asarray(x[sl]) for x in xs_np)
+        carry, (zs, stats) = seg_scan(carry, xs_seg)
+        jax.block_until_ready(zs)
+        zs_parts.append(zs)
+        stats_parts.append(stats)
+        if progress:
+            done = min((s + 1) * segment_size, total)
+            print(f"  NUTS segment {s + 1}/{n_segments} ({done}/{total} steps)",
+                  flush=True)
+
+    zs = jnp.concatenate(zs_parts, axis=0)[num_warmup:total]
+    stats = {
+        k: jnp.concatenate([p[k] for p in stats_parts], axis=0)[num_warmup:total]
+        for k in stats_parts[0]
+    }
     return zs, stats, unravel

@@ -164,6 +164,7 @@ class ExactGP:
         print_summary: bool = True,
         device=None,
         pad_to_multiple: Optional[int] = None,
+        segment_size: Optional[int] = None,
         **kwargs,
     ) -> None:
         """Run NUTS over the GP hyperparameters.
@@ -212,6 +213,7 @@ class ExactGP:
             num_chains=num_chains,
             chain_method=chain_method,
             progress_bar=progress_bar,
+            segment_size=segment_size,
         )
         self.mcmc.run(rng_key, *fit_args, **kwargs)
         if print_summary:

