@@ -164,3 +164,29 @@ def test_segmented_through_model_fit():
     s = m.get_samples()
     assert s["noise"].shape == (60,)
     assert np.isfinite(np.asarray(s["noise"])).all()
+
+
+def test_sequential_chains():
+    def model():
+        ppl.sample("x", dist.Normal(0.0, 1.0))
+
+    mcmc = MCMC(NUTS(model), num_warmup=150, num_samples=200, num_chains=2,
+                chain_method="sequential")
+    mcmc.run(jax.random.PRNGKey(8))
+    g = mcmc.get_samples(group_by_chain=True)
+    assert g["x"].shape == (2, 200)
+    # chains must differ (different keys / jittered inits)
+    assert not np.allclose(np.asarray(g["x"][0]), np.asarray(g["x"][1]))
+
+
+def test_predictive_return_sites():
+    def model(X, y=None):
+        w = ppl.sample("w", dist.Normal(0.0, 1.0))
+        mu = ppl.deterministic("mu", w * X)
+        ppl.sample("y", dist.Normal(mu, 0.1), obs=y)
+
+    X = jnp.linspace(0, 1, 5)
+    pred = ppl.Predictive(model, num_samples=7, return_sites=["y"])
+    out = pred(jax.random.PRNGKey(0), X)
+    assert set(out) == {"y"}
+    assert out["y"].shape == (7, 5)
