@@ -4,13 +4,16 @@ Parity surface: gpax/acquisition/base_acq.py:20-237 — ``ei``/``ucb``/``ue``/``
 operate on (mean, variance) moments; behavioral quirks preserved: ``ucb`` returns a
 *negated* value for minimization problems (base_acq.py:104-106) and ``ue`` returns
 sigma (sqrt of variance) despite its sigma^2 docstring (base_acq.py:109-131).
-``kg`` is the fantasy-observation knowledge gradient, expressed functionally (the
-training set is swapped via ``_set_training_data`` and restored, matching
-base_acq.py:203-235).
+``kg`` is the fantasy-observation knowledge gradient (reference semantics:
+base_acq.py:158-237) expressed functionally: fantasy posteriors are evaluated on
+a trace-local shallow copy of the model carrying the augmented training set, so
+the caller's model is never mutated — re-entrant and safe under jit caching,
+unlike the reference's mutate-and-restore via ``_set_training_data``.
 """
 
 from __future__ import annotations
 
+import copy
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -83,10 +86,16 @@ def kg(model, X_new: jnp.ndarray, sample: Dict[str, jnp.ndarray],
 
     X_train_o = model.X_train
     y_train_o = model.y_train
+    # trace-local shallow copy: shares kernel/priors with the caller's model but
+    # carries its own (traced) training arrays — no state mutation, re-entrant
+    fantasy_model = copy.copy(model)
 
     def kg_for_one_point(x_aug, y_aug, mean_o):
-        model._set_training_data(x_aug, y_aug)
-        mean_aug, _ = model.get_mvn_posterior(X_new, *sample, noiseless=noiseless, **kwargs)
+        fantasy_model.X_train = x_aug
+        fantasy_model.y_train = y_aug
+        mean_aug, _ = fantasy_model.get_mvn_posterior(
+            X_new, *sample, noiseless=noiseless, **kwargs
+        )
         y_fant = mean_aug.max() if maximize else mean_aug.min()
         mean_o_best = mean_o.max() if maximize else mean_o.min()
         u = y_fant - mean_o_best
@@ -110,6 +119,4 @@ def kg(model, X_new: jnp.ndarray, sample: Dict[str, jnp.ndarray],
         jax.vmap(kg_for_one_point, in_axes=(0, 0, None)), in_axes=(None, 0, None)
     )
     kg_values = vectorized_kg(X_train_aug, y_train_aug, mean)
-
-    model._set_training_data(X_train_o, y_train_o)
     return kg_values.mean(0)

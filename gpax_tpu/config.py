@@ -37,6 +37,11 @@ class Config:
     # 'always' forces them (interpret-mode on CPU), 'never' keeps pure XLA.
     use_pallas: str = "auto"
     pallas_min_elems: int = 128 * 128
+    # Blocked Pallas Cholesky + triangular inverse (ops/chol.py): 'auto' uses it
+    # on TPU for f32 matrices with n >= pallas_chol_min_n, 'always' forces it
+    # (interpret-mode tile kernel on CPU), 'never' keeps jnp.linalg.cholesky.
+    use_pallas_chol: str = "auto"
+    pallas_chol_min_n: int = 512
 
 
 _config = Config()

@@ -291,13 +291,15 @@ class ExactGP:
 
         # chunk the sample axis: a full vmap materializes S x (n² + m²) grams,
         # which exceeds HBM for production S; lax.map(batch_size) runs vmapped
-        # chunks sequentially with bounded live memory
+        # chunks sequentially with bounded live memory sized from the device
         bytes_per = 4 * (
             self.X_train.shape[0] ** 2
             + 2 * self.X_train.shape[0] * X_new.shape[0]
             + 2 * X_new.shape[0] ** 2
         )
-        cs = int(max(1, min(num_samples, (1 << 31) // max(bytes_per, 1))))
+        from ..utils import device_memory_budget
+
+        cs = int(max(1, min(num_samples, device_memory_budget() // max(bytes_per, 1))))
         y_means, y_sampled = jax.jit(
             lambda ks, ss: jax.lax.map(single, (ks, ss), batch_size=cs)
         )(keys, samples)
@@ -417,7 +419,9 @@ class ExactGP:
         bytes_per = 4 * (
             self.X_train.shape[0] ** 2 + 2 * self.X_train.shape[0] * X_new.shape[0]
         )
-        cs = int(max(1, min(num_samples, (1 << 31) // max(bytes_per, 1))))
+        from ..utils import device_memory_budget
+
+        cs = int(max(1, min(num_samples, device_memory_budget() // max(bytes_per, 1))))
         means, variances = jax.jit(
             lambda ss: jax.lax.map(single, ss, batch_size=cs)
         )(samples)

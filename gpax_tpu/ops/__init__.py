@@ -1,15 +1,20 @@
+from .chol import blocked_eligible, chol_inv
 from .linalg import (
     cho_solve,
     gp_predictive_mean_var,
     gp_predictive_moments,
     mvn_sample_from_cov,
     robust_mvn_sample,
+    safe_chol_inv,
     safe_cholesky,
     tri_solve,
 )
 
 __all__ = [
     "safe_cholesky",
+    "safe_chol_inv",
+    "chol_inv",
+    "blocked_eligible",
     "cho_solve",
     "tri_solve",
     "gp_predictive_moments",

@@ -20,6 +20,27 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from .chol import blocked_eligible, chol_inv, _interpret_mode
+
+
+def _chol(K: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky with TPU dispatch: the blocked all-matmul Pallas scheme
+    (ops/chol.py) for large f32 matrices, XLA's ``jnp.linalg.cholesky``
+    otherwise.  Both propagate NaN on indefinite input."""
+    if blocked_eligible(K.shape[-1], K.dtype):
+        return chol_inv(K, _interpret_mode())[0]
+    return jnp.linalg.cholesky(K)
+
+
+def _chol_with_inv(K: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, W=L⁻¹) pair; blocked path computes W for free, XLA path solves
+    against the identity (used only below the dispatch threshold)."""
+    if blocked_eligible(K.shape[-1], K.dtype):
+        return chol_inv(K, _interpret_mode())
+    L = jnp.linalg.cholesky(K)
+    eye = jnp.broadcast_to(jnp.eye(K.shape[-1], dtype=K.dtype), K.shape)
+    return L, solve_triangular(L, eye, lower=True)
+
 
 def safe_cholesky(K: jnp.ndarray, base_jitter: float = 0.0) -> jnp.ndarray:
     """NaN-proof, gradient-safe Cholesky for f32 GP grams on TPU.
@@ -51,10 +72,32 @@ def safe_cholesky(K: jnp.ndarray, base_jitter: float = 0.0) -> jnp.ndarray:
     j_big = jnp.maximum(0.05, 1000.0 * n * dtype_eps) * scale
 
     Kp = jax.lax.stop_gradient(K)
-    L_probe = jnp.linalg.cholesky(Kp + j_base[..., None, None] * eye)
+    L_probe = _chol(Kp + j_base[..., None, None] * eye)
     ok = jnp.all(jnp.isfinite(L_probe), axis=(-2, -1))
     j = jnp.where(ok, j_base, j_big)
-    return jnp.linalg.cholesky(K + j[..., None, None] * eye)
+    return _chol(K + j[..., None, None] * eye)
+
+
+def safe_chol_inv(K: jnp.ndarray, base_jitter: float = 0.0
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, W=L⁻¹) with the same jitter-escalation semantics as safe_cholesky.
+
+    With W in hand every downstream triangular solve becomes an MXU matmul —
+    the TPU-native replacement for XLA's serialized TriangularSolve expander.
+    On the blocked Pallas path (ops/chol.py) W is a byproduct of factorization.
+    """
+    n = K.shape[-1]
+    dtype_eps = jnp.finfo(K.dtype).eps
+    scale = jnp.maximum(jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1), 1e-12)
+    eye = jnp.eye(n, dtype=K.dtype)
+    j_base = jnp.maximum(4.0 * n * dtype_eps, base_jitter) * scale
+    j_big = jnp.maximum(0.05, 1000.0 * n * dtype_eps) * scale
+
+    Kp = jax.lax.stop_gradient(K)
+    L_probe = _chol(Kp + j_base[..., None, None] * eye)
+    ok = jnp.all(jnp.isfinite(L_probe), axis=(-2, -1))
+    j = jnp.where(ok, j_base, j_big)
+    return _chol_with_inv(K + j[..., None, None] * eye)
 
 
 def robust_mvn_sample(key, mean: jnp.ndarray, cov: jnp.ndarray, n: int = 1) -> jnp.ndarray:
@@ -96,11 +139,17 @@ def gp_predictive_moments(
 
     Replaces the inv-based math at gpax/models/gp.py:271-273.
     """
-    L = safe_cholesky(k_XX)
-    # A = L⁻¹ k_pXᵀ : (n, m)
-    A = solve_triangular(L, k_pX.T, lower=True)
-    # alpha = L⁻ᵀ L⁻¹ y
-    v = solve_triangular(L, y, lower=True)
+    if blocked_eligible(k_XX.shape[-1], k_XX.dtype):
+        # blocked path: W = L⁻¹ is a byproduct, so both solves become matmuls
+        _, W = safe_chol_inv(k_XX)
+        A = W @ k_pX.T
+        v = W @ y
+    else:
+        L = safe_cholesky(k_XX)
+        # A = L⁻¹ k_pXᵀ : (n, m)
+        A = solve_triangular(L, k_pX.T, lower=True)
+        # alpha = L⁻ᵀ L⁻¹ y
+        v = solve_triangular(L, y, lower=True)
     mean = A.T @ v
     cov = k_pp - A.T @ A
     return mean, cov
@@ -111,9 +160,14 @@ def gp_predictive_mean_var(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mean and *diagonal* predictive variance only — O(n²m) instead of O(nm²),
     for MAP prediction paths (gpax/models/vigp.py:153-185 semantics)."""
-    L = safe_cholesky(k_XX)
-    A = solve_triangular(L, k_pX.T, lower=True)
-    v = solve_triangular(L, y, lower=True)
+    if blocked_eligible(k_XX.shape[-1], k_XX.dtype):
+        _, W = safe_chol_inv(k_XX)
+        A = W @ k_pX.T
+        v = W @ y
+    else:
+        L = safe_cholesky(k_XX)
+        A = solve_triangular(L, k_pX.T, lower=True)
+        v = solve_triangular(L, y, lower=True)
     mean = A.T @ v
     var = k_pp_diag - jnp.sum(A * A, axis=0)
     return mean, var

@@ -32,12 +32,18 @@ def _pad_to_multiple(X, k):
 
 def sharded_predict(model, rng_key, X_new: jnp.ndarray,
                     mesh: Optional[Mesh] = None, axis_name: str = "grid",
-                    **kwargs):
+                    grid_axes=(0, -1), **kwargs):
     """Run ``model.predict`` with the test grid sharded across the mesh.
 
     Works for any model whose predict consumes (rng_key, X_new, ...): the grid is
     padded to a device-count multiple and device_put with a grid-axis sharding;
     outputs come back grid-sharded and are sliced to the original size.
+
+    ``grid_axes`` names the grid axis of each predict output explicitly (the
+    framework contract: mean carries the grid on axis 0, samples/variance on the
+    last axis).  Pass a custom tuple for models with other output layouts — the
+    axis is NOT inferred by shape matching, so a sample count that happens to
+    equal the padded grid size cannot mis-slice an output.
     """
     if mesh is None:
         mesh = get_mesh(axis_name=axis_name)
@@ -48,14 +54,15 @@ def sharded_predict(model, rng_key, X_new: jnp.ndarray,
     Xp = jax.device_put(Xp, NamedSharding(mesh, P(axis_name, None)))
     out = model.predict(rng_key, Xp, **kwargs)
 
-    def _slice(o):
-        # grid axis is the one matching the padded size
-        axes = [ax for ax, s in enumerate(o.shape) if s == Xp.shape[0]]
-        if not axes:
-            return o
-        return jax.lax.slice_in_dim(o, 0, n, axis=axes[-1])
-
-    return jax.tree_util.tree_map(_slice, out)
+    outs = out if isinstance(out, tuple) else (out,)
+    axes = tuple(grid_axes) + (grid_axes[-1],) * (len(outs) - len(grid_axes))
+    sliced = []
+    for o, ax in zip(outs, axes):
+        ax = ax % o.ndim
+        if o.shape[ax] == Xp.shape[0]:
+            o = jax.lax.slice_in_dim(o, 0, n, axis=ax)
+        sliced.append(o)
+    return tuple(sliced) if isinstance(out, tuple) else sliced[0]
 
 
 def sharded_acquisition(acq_fn: Callable, rng_key, model, X_cand: jnp.ndarray,

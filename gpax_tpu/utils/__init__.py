@@ -1,4 +1,5 @@
 from .utils import (
+    device_memory_budget,
     dviz,
     enable_x64,
     get_haiku_dict,
@@ -23,6 +24,7 @@ __all__ = [
     "fit_report",
     "debug_nans",
     "enable_x64",
+    "device_memory_budget",
     "get_keys",
     "split_in_batches",
     "split_dict",

@@ -127,3 +127,23 @@ def initialize_inducing_points(X, ratio: float = 0.1, method: str = "uniform", k
         centers = KMeans(n_clusters=m, random_state=0, n_init="auto").fit(onp.asarray(X))
         return jnp.asarray(centers.cluster_centers_)
     raise ValueError("Method must be 'uniform', 'random', or 'kmeans'")
+
+
+def device_memory_budget(fraction: float = 0.4, default: int = 1 << 31) -> int:
+    """Usable per-device scratch budget in bytes for chunked computations.
+
+    Derived from the default device's actual memory stats (HBM limit minus live
+    allocations) instead of a hard-coded constant, so chunk sizes scale with the
+    hardware (16 GB v5e vs 32 GB v4 vs host CPU).  Falls back to ``default``
+    (2 GiB) when the backend reports no stats (e.g. the CPU test platform).
+    """
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            free = int(limit) - int(stats.get("bytes_in_use", 0))
+            if free > 0:
+                return max(int(fraction * free), 64 << 20)
+    except Exception:
+        pass
+    return default

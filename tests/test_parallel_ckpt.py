@@ -101,3 +101,19 @@ def test_fit_report_and_timed():
     assert rep["num_chains"] == 1
     assert "noise" in rep["max_rhat"]
     assert rep["min_ess"]["noise"] > 0
+
+
+def test_sharded_predict_collision_dim_not_missliced():
+    """A sample count equal to the padded grid size must NOT be mis-sliced:
+    the grid axis is declared via grid_axes, never inferred by shape matching."""
+    m = _fitted_exactgp(n=10)
+    # truncate the posterior to exactly 24 samples == padded grid size (19 -> 24)
+    samples = {k: v[:24] for k, v in m.get_samples().items()}
+    mesh = get_mesh(8)
+    X_new = jnp.linspace(-1, 1, 19)
+    mean, draws = sharded_predict(m, get_keys()[1], X_new, mesh=mesh,
+                                  samples=samples)
+    assert mean.shape == (19,)
+    # sample axis (S=24, first axis of draws) must survive intact even though
+    # it equals the padded grid length; only the last (grid) axis is sliced
+    assert draws.shape[0] == 24 and draws.shape[-1] == 19
