@@ -1,15 +1,21 @@
-"""Headline benchmark: ExactGP NUTS fit wall-clock (BASELINE.md config 1).
+"""Benchmarks for the five BASELINE.md configs on one TPU chip.
 
-Config: ExactGP, RBF kernel, 1D regression, n=2048 training points, NUTS with
-100 warmup + 100 samples, max_tree_depth=8, f32, one TPU chip.
+Prints one JSON line per config ({"metric", "value", "unit", "vs_baseline",
+"extra"}), the HEADLINE config (ExactGP NUTS fit at the largest validated n)
+LAST so single-line consumers pick it up.
 
-vs_baseline: speedup over the reference-equivalent CPU cost, estimated as
-(measured leapfrog count) x (measured per-leapfrog potential+grad wall-clock of
-THIS framework on the driver host CPU: 0.750 s/eval at n=2048, single core,
-measured 2026-08-16).  The reference (gpax+numpyro on CPU) pays at least that per
-leapfrog plus Python MCMC-driver overhead, so the reported speedup is conservative.
+vs_baseline: speedup over the reference-equivalent CPU cost.  numpyro is not
+installed on this host, so the baseline is the measured per-leapfrog
+potential+grad wall-clock of THIS framework on the driver host CPU
+(0.750 s at n=2048, single core, measured 2026-08-16), scaled by n³ for other
+sizes; the reference (gpax+numpyro, CPU) pays at least that per leapfrog plus
+Python-driver overhead, so reported speedups are conservative.  SVI/AL configs
+use the same potential-cost scaling for their per-step baselines where noted;
+configs without a measured CPU anchor report vs_baseline = null.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Absolute throughput is always reported in "extra": leapfrogs/s or steps/s,
+predict points/s, and for the headline an estimated FLOP/s and MXU utilization
+(f32 flops x 3 bf16 passes at HIGHEST precision, v5e peak 197 TFLOP/s).
 """
 
 import json
@@ -22,22 +28,34 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpax_tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-CPU_SECONDS_PER_LEAPFROG_N2048 = 0.750  # measured on this host (see module docstring)
+CPU_SECONDS_PER_LEAPFROG_N2048 = 0.750  # measured on this host (module docstring)
+V5E_BF16_PEAK = 197e12
 
-N = 2048
+HEADLINE_N = 4096
 NUM_WARMUP = 100
 NUM_SAMPLES = 100
 MAX_DEPTH = 8
 
 
-def main():
+def emit(metric, value, unit, vs_baseline, **extra):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 3), "unit": unit,
+        "vs_baseline": None if vs_baseline is None else round(vs_baseline, 1),
+        "extra": {k: (round(v, 3) if isinstance(v, float) else v)
+                  for k, v in extra.items()},
+    }), flush=True)
+
+
+def bench_exactgp_headline():
+    """BASELINE config 1: ExactGP RBF 1D NUTS fit, n=HEADLINE_N."""
     import gpax_tpu
     from gpax_tpu.ppl import initialize_model
     from gpax_tpu.infer.nuts import run_nuts
 
+    n = HEADLINE_N
     rng = np.random.default_rng(0)
-    X = jnp.asarray(rng.uniform(-2, 2, (N, 1)), dtype=jnp.float32)
-    y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=N), dtype=jnp.float32)
+    X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), dtype=jnp.float32)
+    y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
 
     gp = gpax_tpu.ExactGP(1, "RBF")
     gp.X_train, gp.y_train = X, y
@@ -49,23 +67,175 @@ def main():
             NUM_WARMUP, NUM_SAMPLES, max_tree_depth=MAX_DEPTH,
         )[:2]
     )
-    # compile (cached across rounds via the persistent cache)
     zs, stats = fit(jax.random.PRNGKey(1))
     jax.block_until_ready(zs)
-    # measure
     t0 = time.time()
     zs, stats = fit(jax.random.PRNGKey(2))
     jax.block_until_ready(zs)
     fit_s = time.time() - t0
 
     leapfrogs = float(np.asarray(stats["num_steps"]).sum()) + NUM_WARMUP + NUM_SAMPLES
-    baseline_s = leapfrogs * CPU_SECONDS_PER_LEAPFROG_N2048
-    print(json.dumps({
-        "metric": f"exactgp_rbf1d_n{N}_nuts{NUM_WARMUP}+{NUM_SAMPLES}_fit_wallclock",
-        "value": round(fit_s, 3),
-        "unit": "s",
-        "vs_baseline": round(baseline_s / fit_s, 1),
-    }))
+    cpu_s_per_leapfrog = CPU_SECONDS_PER_LEAPFROG_N2048 * (n / 2048) ** 3
+    # fwd gram+factor+inverse ~ n^3, backward matmul pullback ~ 2n^3 (f32)
+    flops = leapfrogs * 3.0 * n**3
+    emit(
+        f"exactgp_rbf1d_n{n}_nuts{NUM_WARMUP}+{NUM_SAMPLES}_fit_wallclock",
+        fit_s, "s", cpu_s_per_leapfrog * leapfrogs / fit_s,
+        leapfrogs=leapfrogs,
+        leapfrogs_per_s=leapfrogs / fit_s,
+        est_tflops_per_s=flops / fit_s / 1e12,
+        est_mxu_util_pct=100.0 * 3.0 * flops / fit_s / V5E_BF16_PEAK,
+        accept_rate=float(np.asarray(stats["accept_prob"]).mean()),
+    )
+
+
+def bench_vigp_sparse_image():
+    """BASELINE config 2: viGP Matern 2D sparse-image reconstruction."""
+    import gpax_tpu
+    from gpax_tpu.utils import preprocess_sparse_image
+
+    rng = np.random.default_rng(0)
+    size = 48
+    xx, yy = np.meshgrid(np.arange(size), np.arange(size))
+    truth = np.sin(xx / 6.0) * np.cos(yy / 8.0) + 1.5
+    mask = rng.uniform(size=truth.shape) < 0.15
+    coords, values, full_grid = preprocess_sparse_image(np.where(mask, truth, 0.0))
+
+    key_fit, key_pred = gpax_tpu.utils.get_keys()
+    model = gpax_tpu.viGP(input_dim=2, kernel="Matern")
+    t0 = time.time()
+    model.fit(key_fit, jnp.asarray(coords), jnp.asarray(values), num_steps=2000,
+              print_summary=False, progress_bar=False)
+    fit_s = time.time() - t0
+    t0 = time.time()
+    mean, var = model.predict_in_batches(key_pred, jnp.asarray(full_grid),
+                                         batch_size=1024)
+    jax.block_until_ready(mean)
+    pred_s = time.time() - t0
+    rmse = float(np.sqrt(np.mean((np.asarray(mean).reshape(truth.shape) - truth) ** 2)))
+    emit(
+        f"vigp_matern2d_sparseimg{size}x{size}_svi2000_fit_wallclock",
+        fit_s, "s", None,
+        n_train=int(values.shape[0]),
+        svi_steps_per_s=2000.0 / fit_s,
+        predict_points_per_s=full_grid.shape[0] / pred_s,
+        reconstruction_rmse=rmse,
+    )
+
+
+def bench_visparsegp():
+    """BASELINE config 3: viSparseGP inducing-point reconstruction."""
+    import gpax_tpu
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    X = rng.uniform(0, 4, n)
+    y = np.sin(3 * X) * np.exp(-0.3 * X) + 0.05 * rng.normal(size=n)
+    key_fit, key_pred = gpax_tpu.utils.get_keys()
+    model = gpax_tpu.viSparseGP(input_dim=1, kernel="RBF")
+    t0 = time.time()
+    model.fit(key_fit, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+              inducing_points_ratio=0.05, inducing_points_selection="uniform",
+              num_steps=3000, print_summary=False, progress_bar=False)
+    fit_s = time.time() - t0
+    grid = jnp.linspace(0, 4, 2001)
+    t0 = time.time()
+    mean, var = model.predict_in_batches(key_pred, grid, batch_size=1024)
+    jax.block_until_ready(mean)
+    pred_s = time.time() - t0
+    truth = np.sin(3 * np.asarray(grid)) * np.exp(-0.3 * np.asarray(grid))
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)))
+    emit(
+        f"visparsegp_rbf1d_n{n}_m{model.Xu.shape[0]}_svi3000_fit_wallclock",
+        fit_s, "s", None,
+        svi_steps_per_s=3000.0 / fit_s,
+        predict_points_per_s=float(grid.shape[0]) / pred_s,
+        reconstruction_rmse=rmse,
+    )
+
+
+def bench_mtgp_bo():
+    """BASELINE config 4: MultiTaskGP NUTS fit + Bayesian-averaged EI."""
+    import gpax_tpu
+    from gpax_tpu.acquisition import EI
+
+    def f_hi(x):
+        return np.sin(5 * x) * np.exp(-x)
+
+    def f_lo(x):
+        return 0.8 * f_hi(x) + 0.2 * np.cos(3 * x)
+
+    rng = np.random.default_rng(0)
+    n_lo, n_hi = 40, 8
+    X_lo, X_hi = rng.uniform(0, 2, n_lo), rng.uniform(0, 2, n_hi)
+    X = np.concatenate([np.column_stack([X_lo, np.zeros(n_lo)]),
+                        np.column_stack([X_hi, np.ones(n_hi)])])
+    y = np.concatenate([f_lo(X_lo), f_hi(X_hi)])
+    key_fit, key_pred = gpax_tpu.utils.get_keys()
+    mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2, rank=2)
+    t0 = time.time()
+    mtgp.fit(key_fit, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+             num_warmup=1000, num_samples=1000,
+             print_summary=False, progress_bar=False)
+    fit_s = time.time() - t0
+    grid = np.linspace(0, 2, 101)
+    X_test = jnp.asarray(np.column_stack([grid, np.ones_like(grid)]), jnp.float32)
+    t0 = time.time()
+    acq = EI(key_pred, mtgp, X_test, maximize=True, noiseless=True)
+    jax.block_until_ready(acq)
+    acq_s = time.time() - t0
+    emit(
+        f"mtgp_bo_n{n_lo}+{n_hi}_nuts1000+1000_fit_wallclock",
+        fit_s, "s", None,
+        acq_eval_s=acq_s,
+        acq_points_per_s=float(grid.shape[0]) / acq_s,
+        next_x=float(grid[int(np.asarray(acq).argmax())]),
+    )
+
+
+def bench_vidkl_al():
+    """BASELINE config 5: viDKL active-learning unit cost (fit + pool predict)."""
+    import gpax_tpu
+
+    rng = np.random.default_rng(0)
+    n_pool, d = 400, 64
+    latent = rng.normal(size=(n_pool, 2))
+    mix = rng.normal(size=(2, d)) / np.sqrt(2)
+    X_pool = latent @ mix + 0.01 * rng.normal(size=(n_pool, d))
+    y_pool = np.sin(latent[:, 0] * 2.0) + 0.3 * latent[:, 1]
+    measured = rng.choice(n_pool, size=64, replace=False)
+    key_fit, key_pred = gpax_tpu.utils.get_keys()
+
+    dkl = gpax_tpu.viDKL(input_dim=d, z_dim=2, kernel="RBF")
+    t0 = time.time()
+    dkl.fit(key_fit, jnp.asarray(X_pool[measured], jnp.float32),
+            jnp.asarray(y_pool[measured], jnp.float32), num_steps=1000,
+            print_summary=False, progress_bar=False)
+    fit_s = time.time() - t0
+    t0 = time.time()
+    mean, var = dkl.predict(key_pred, jnp.asarray(X_pool, jnp.float32))
+    jax.block_until_ready(mean)
+    pred_s = time.time() - t0
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - y_pool) ** 2)))
+    emit(
+        "vidkl_al_n64of400_d64_svi1000_step_wallclock",
+        fit_s + pred_s, "s", None,
+        fit_s=fit_s,
+        svi_steps_per_s=1000.0 / fit_s,
+        predict_points_per_s=float(n_pool) / pred_s,
+        pool_rmse=rmse,
+    )
+
+
+def main():
+    # small configs first; the headline NUTS program runs LAST so its JSON line
+    # is the one single-line consumers parse
+    for fn in (bench_vigp_sparse_image, bench_visparsegp, bench_mtgp_bo,
+               bench_vidkl_al, bench_exactgp_headline):
+        try:
+            fn()
+        except Exception as e:  # keep later configs alive on a single failure
+            emit(f"FAILED_{fn.__name__}", -1.0, "s", None, error=repr(e)[:300])
 
 
 if __name__ == "__main__":

@@ -362,27 +362,26 @@ class MultivariateNormal(Distribution):
     def __init__(self, loc=0.0, covariance_matrix=None, scale_tril=None):
         if (covariance_matrix is None) == (scale_tril is None):
             raise ValueError("Provide exactly one of covariance_matrix / scale_tril")
-        inv_tril = None
-        if scale_tril is None:
+        self._covariance = covariance_matrix
+        self._scale_tril = scale_tril
+        mat = scale_tril if scale_tril is not None else covariance_matrix
+        n = mat.shape[-1]
+        self.loc = jnp.broadcast_to(jnp.asarray(loc), _bshape(loc, mat[..., 0]))
+        self.event_shape = (n,)
+        self.batch_shape = _bshape(self.loc[..., 0], mat[..., 0, 0])
+
+    @property
+    def scale_tril(self):
+        if self._scale_tril is None:
             # jitter-escalating Cholesky: an f32 gram that is numerically
             # indefinite must yield a finite (slightly regularized) likelihood,
-            # not a NaN potential that walls off the posterior mode under NUTS
-            from ..ops.chol import blocked_eligible
-            from ..ops.linalg import safe_cholesky, safe_chol_inv
+            # not a NaN potential that walls off the posterior mode under NUTS.
+            # Computed lazily: the likelihood path (log_prob on the blocked
+            # dispatch) never needs the factor itself.
+            from ..ops.linalg import safe_cholesky
 
-            if blocked_eligible(covariance_matrix.shape[-1],
-                                covariance_matrix.dtype):
-                # blocked Pallas path: W = L⁻¹ comes out of the factorization,
-                # turning log_prob's triangular solve into one MXU matvec
-                scale_tril, inv_tril = safe_chol_inv(covariance_matrix)
-            else:
-                scale_tril = safe_cholesky(covariance_matrix)
-        self.scale_tril = scale_tril
-        self._inv_tril = inv_tril
-        n = scale_tril.shape[-1]
-        self.loc = jnp.broadcast_to(jnp.asarray(loc), _bshape(loc, scale_tril[..., 0]))
-        self.event_shape = (n,)
-        self.batch_shape = _bshape(self.loc[..., 0], scale_tril[..., 0, 0])
+            self._scale_tril = safe_cholesky(self._covariance)
+        return self._scale_tril
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape + self.event_shape
@@ -391,10 +390,15 @@ class MultivariateNormal(Distribution):
 
     def log_prob(self, value):
         diff = value - self.loc
-        if self._inv_tril is not None:
-            w = jnp.einsum("...ij,...j->...i", self._inv_tril, diff)
-        else:
-            w = _batched_tri_solve(self.scale_tril, diff)
+        if self._covariance is not None:
+            from ..ops.chol import blocked_eligible
+            from ..ops.linalg import mvn_log_prob_centered
+
+            if blocked_eligible(self._covariance.shape[-1],
+                                self._covariance.dtype):
+                # matmul-only custom-VJP density: the NUTS leapfrog hot path
+                return mvn_log_prob_centered(self._covariance, diff)
+        w = _batched_tri_solve(self.scale_tril, diff)
         maha = (w * w).sum(-1)
         logdet = jnp.log(jnp.abs(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1))).sum(-1)
         n = self.event_shape[0]

@@ -1,8 +1,10 @@
-from .chol import blocked_eligible, chol_inv
+from .chol import blocked_eligible, blocked_trtri, chol_inv
 from .linalg import (
     cho_solve,
+    chol_tri_factors,
     gp_predictive_mean_var,
     gp_predictive_moments,
+    mvn_log_prob_centered,
     mvn_sample_from_cov,
     robust_mvn_sample,
     safe_chol_inv,
@@ -14,7 +16,10 @@ __all__ = [
     "safe_cholesky",
     "safe_chol_inv",
     "chol_inv",
+    "chol_tri_factors",
+    "mvn_log_prob_centered",
     "blocked_eligible",
+    "blocked_trtri",
     "cho_solve",
     "tri_solve",
     "gp_predictive_moments",

@@ -196,6 +196,78 @@ chol_inv.defvjp(_chol_inv_fwd, _chol_inv_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Triangular inverse alone (for factors produced by XLA's native Cholesky)
+# ---------------------------------------------------------------------------
+
+def _tile_tri_inv_kernel(l_ref, w_ref):
+    B = l_ref.shape[0]
+    dt = l_ref.dtype
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    colr = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    L = l_ref[:]
+
+    def inv_step(i, W):
+        l_row = jnp.sum(jnp.where(row == i, L, 0.0), axis=0, keepdims=True)
+        l_ii = jnp.sum(jnp.where((row == i) & (col == i), L, 0.0))
+        strict = jnp.where(colr < i, l_row, jnp.zeros((), dt))
+        acc = jax.lax.dot_general(strict, W, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=dt)
+        e_i = jnp.where(colr == i, jnp.ones((), dt), jnp.zeros((), dt))
+        w_row = (e_i - acc) / l_ii
+        return jnp.where(row == i, w_row, W)
+
+    w_ref[:] = jax.lax.fori_loop(0, B, inv_step, jnp.zeros((B, B), dt))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tile_tri_inv(L: jnp.ndarray, interpret: bool = False):
+    B = L.shape[-1]
+    return pl.pallas_call(
+        _tile_tri_inv_kernel,
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=B * B * B,
+            bytes_accessed=2 * B * B * L.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(L)
+
+
+def _trtri_rec(L, interpret):
+    n = L.shape[-1]
+    if n <= TILE:
+        return _tile_tri_inv(L, interpret=interpret)
+    h = TILE * ((n // TILE) // 2)
+    W11 = _trtri_rec(L[:h, :h], interpret)
+    W22 = _trtri_rec(L[h:, h:], interpret)
+    W21 = -_mm(W22, _mm(L[h:, :h], W11))
+    zero = jnp.zeros((h, n - h), L.dtype)
+    return jnp.block([[W11, zero], [W21, W22]])
+
+
+def blocked_trtri(L: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """W = L⁻¹ for lower-triangular L: Pallas tile inversions on the diagonal,
+    MXU matmuls everywhere else (the all-matmul replacement for XLA's
+    serialized TriangularSolve-against-identity).  Not differentiable on its
+    own — callers that need gradients wrap it in a custom VJP (see
+    ops.linalg.mvn_log_prob_centered)."""
+    if L.ndim > 2:
+        return jax.vmap(lambda l: blocked_trtri(l, interpret))(L)
+    n = L.shape[-1]
+    n_pad = -(-n // TILE) * TILE
+    if n_pad != n:
+        Lp = jnp.pad(L, ((0, n_pad - n), (0, n_pad - n)))
+        idx = jnp.arange(n, n_pad)
+        L = Lp.at[idx, idx].set(jnp.ones((), L.dtype))
+    W = _trtri_rec(L, interpret)
+    return W[:n, :n]
+
+
+# ---------------------------------------------------------------------------
 # Dispatch policy
 # ---------------------------------------------------------------------------
 

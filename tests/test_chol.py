@@ -132,6 +132,90 @@ def test_mvn_potential_grad_blocked_path():
         g_blocked = jax.grad(potential)(theta)
     finally:
         set_config(use_pallas_chol="auto")
-    g_xla = jax.grad(potential)(theta)
+
+    # f64 ground truth (the f32 XLA solve path itself deviates ~2.5% on this
+    # problem; the closed-form blocked gradient is the MORE accurate one)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        X64 = jnp.asarray(np.asarray(X), jnp.float64)
+        y64 = jnp.sin(2 * X64[:, 0])
+
+        def potential64(theta):
+            params = {"k_length": jnp.exp(theta[0]), "k_scale": jnp.exp(theta[1])}
+            K = kern(X64, X64, params, noise=jnp.exp(theta[2]))
+            L = jnp.linalg.cholesky(K)
+            w = jax.scipy.linalg.solve_triangular(L, y64, lower=True)
+            return (0.5 * jnp.sum(w**2) + jnp.sum(jnp.log(jnp.diagonal(L)))
+                    + 0.5 * n * jnp.log(2 * jnp.pi))
+
+        g64 = jax.grad(potential64)(jnp.asarray(np.asarray(theta), jnp.float64))
+    finally:
+        jax.config.update("jax_enable_x64", False)
     assert jnp.all(jnp.isfinite(g_blocked))
-    assert jnp.max(jnp.abs(g_blocked - g_xla) / (jnp.abs(g_xla) + 1e-3)) < 2e-2
+    g64 = jnp.asarray(np.asarray(g64), jnp.float32)
+    assert jnp.max(jnp.abs(g_blocked - g64) / (jnp.abs(g64) + 1e-3)) < 5e-3
+
+
+def test_blocked_trtri_parity():
+    from gpax_tpu.ops.chol import blocked_trtri
+
+    for n in [128, 200, 384]:
+        L = jnp.linalg.cholesky(_spd(n, seed=n))
+        W = blocked_trtri(L, True)
+        assert jnp.allclose(W @ L, jnp.eye(n), atol=5e-4), n
+    # batched
+    Ls = jnp.linalg.cholesky(jnp.stack([_spd(160, seed=s) for s in range(2)]))
+    Ws = blocked_trtri(Ls, True)
+    assert jnp.allclose(Ws @ Ls, jnp.eye(160), atol=5e-4)
+
+
+def test_mvn_log_prob_centered_value_and_grads():
+    from gpax_tpu.ops.linalg import mvn_log_prob_centered
+
+    set_config(use_pallas_chol="always")
+    try:
+        n = 200
+        K = _spd(n, seed=11)
+        y = jnp.asarray(np.random.default_rng(8).normal(size=n), jnp.float32)
+
+        def f_fast(K, y):
+            return mvn_log_prob_centered(K, y)
+
+        def f_xla(K, y):
+            L = jnp.linalg.cholesky(
+                K + 4.0 * n * jnp.finfo(jnp.float32).eps
+                * jnp.mean(jnp.diagonal(K)) * jnp.eye(n))
+            w = jax.scipy.linalg.solve_triangular(L, y, lower=True)
+            return (-0.5 * (jnp.sum(w**2) + n * jnp.log(2 * jnp.pi))
+                    - jnp.sum(jnp.log(jnp.diagonal(L))))
+
+        lp_fast = f_fast(K, y)
+        lp_xla = f_xla(K, y)
+        assert jnp.allclose(lp_fast, lp_xla, rtol=1e-4, atol=1e-2)
+
+        gK_f, gy_f = jax.grad(lambda K, y: f_fast(K, y), argnums=(0, 1))(K, y)
+        gK_x, gy_x = jax.grad(lambda K, y: f_xla(K, y), argnums=(0, 1))(K, y)
+        gK_x = 0.5 * (gK_x + gK_x.T)  # symmetric-gradient convention
+        sK = jnp.max(jnp.abs(gK_x))
+        assert jnp.max(jnp.abs(gK_f - gK_x)) / sK < 5e-3
+        assert jnp.max(jnp.abs(gy_f - gy_x)) / jnp.max(jnp.abs(gy_x)) < 5e-3
+    finally:
+        set_config(use_pallas_chol="auto")
+
+
+def test_mvn_log_prob_centered_batched_diff():
+    """Batched values against a single covariance: gradient must sum over the
+    batch and match shapes (the vmapped-likelihood contract)."""
+    from gpax_tpu.ops.linalg import mvn_log_prob_centered
+
+    set_config(use_pallas_chol="always")
+    try:
+        n, m = 160, 3
+        K = _spd(n, seed=13)
+        Y = jnp.asarray(np.random.default_rng(9).normal(size=(m, n)), jnp.float32)
+        lp = mvn_log_prob_centered(K, Y)
+        assert lp.shape == (m,)
+        gK = jax.grad(lambda K: mvn_log_prob_centered(K, Y).sum())(K)
+        assert gK.shape == K.shape and bool(jnp.all(jnp.isfinite(gK)))
+    finally:
+        set_config(use_pallas_chol="auto")

@@ -31,3 +31,32 @@ def test_example_smoke(script, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert out.strip(), f"{script} produced no output"
     assert "nan" not in out.lower().replace("nanarg", "")
+
+
+# ---------------------------------------------------------------------------
+# Notebook smoke tests (the reference's de-facto integration surface,
+# .github/workflows/notebook_smoke.yml).  Executed headlessly via nbclient;
+# gated behind NOTEBOOK_SMOKE=1 (CI) because each notebook boots its own
+# kernel — locally run `NOTEBOOK_SMOKE=1 SMOKE=1 pytest tests/test_examples.py`.
+# ---------------------------------------------------------------------------
+
+_NB_DIR = os.path.join(os.path.dirname(__file__), "..", "examples", "notebooks")
+
+
+@pytest.mark.skipif(
+    not bool(int(os.environ.get("NOTEBOOK_SMOKE", "0"))),
+    reason="set NOTEBOOK_SMOKE=1 to execute notebook ports",
+)
+@pytest.mark.parametrize(
+    "nb_name",
+    sorted(f for f in os.listdir(_NB_DIR) if f.endswith(".ipynb"))
+    if os.path.isdir(_NB_DIR) else [],
+)
+def test_notebook_smoke(nb_name):
+    import nbformat
+    from nbclient import NotebookClient
+
+    os.environ["SMOKE"] = "1"
+    nb = nbformat.read(os.path.join(_NB_DIR, nb_name), as_version=4)
+    client = NotebookClient(nb, timeout=900, kernel_name="python3")
+    client.execute()
