@@ -49,12 +49,21 @@ def _chol_with_inv(K: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _jitter_scales(K: jnp.ndarray, base_jitter: float = 0.0):
     """(j_base, j_big, eye): the n-scaled base regularization and the escalated
-    fallback used by every factorization entry point (see safe_cholesky)."""
+    fallback used by every factorization entry point (see safe_cholesky).
+
+    j_base is deliberately θ-INDEPENDENT (no multiplication by K's diagonal
+    scale): a parameter-dependent regularizer changes the potential's gradient
+    — measured +16 on d/d(log k_scale) at n=2048 through the old
+    jb ∝ mean(diag K) term, dominating the physical gradient (−3.6) and biasing
+    the posterior relative to the reference's fixed-jitter likelihood
+    (gpax/kernels/kernels.py:24-25).  The escalated branch keeps the adaptive
+    scale: it exists for factorability, fires rarely, and any gradient through
+    it is already a heavy regularization regime."""
     n = K.shape[-1]
     dtype_eps = jnp.finfo(K.dtype).eps
     scale = jnp.maximum(jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1), 1e-12)
     eye = jnp.eye(n, dtype=K.dtype)
-    j_base = jnp.maximum(4.0 * n * dtype_eps, base_jitter) * scale
+    j_base = jnp.full_like(scale, jnp.maximum(4.0 * n * dtype_eps, base_jitter))
     j_big = jnp.maximum(0.05, 1000.0 * n * dtype_eps) * scale
     return j_base, j_big, eye
 
@@ -133,9 +142,12 @@ def safe_cholesky(K: jnp.ndarray, base_jitter: float = 0.0) -> jnp.ndarray:
     fail to factor even when mathematically PD (the reference leans on f64-on-CPU;
     SURVEY.md hard part #4).  Strategy:
 
-      1. always add a deterministic n-scaled regularization
-         j_base = 4·n·eps·scale (≈4e-6·scale at n=8, ≈1e-3·scale at n=2048) —
-         below the f32 resolution of the factorization itself;
+      1. always add a deterministic, θ-INDEPENDENT n-scaled regularization
+         j_base = max(4·n·eps, base_jitter) (≈4e-6 at n=8, ≈1e-3 at n=2048,
+         assuming O(1)-normalized data) — below the f32 resolution of the
+         factorization itself, and constant w.r.t. model parameters so it
+         neither distorts HMC gradients nor biases the posterior
+         (see _jitter_scales);
       2. probe factorability once under stop_gradient; if the probe fails,
          escalate to j_big ~ max(0.05, 1e3·n·eps)·scale (a smooth extra-noise
          regularization, infinitely better than a NaN potential walling off the
@@ -148,12 +160,7 @@ def safe_cholesky(K: jnp.ndarray, base_jitter: float = 0.0) -> jnp.ndarray:
     the price of both NaN-safety and gradient accuracy.  (A plain where()-retry
     is NOT gradient-safe: the untaken NaN branch poisons the VJP.)
     """
-    n = K.shape[-1]
-    dtype_eps = jnp.finfo(K.dtype).eps
-    scale = jnp.maximum(jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1), 1e-12)
-    eye = jnp.eye(n, dtype=K.dtype)
-    j_base = jnp.maximum(4.0 * n * dtype_eps, base_jitter) * scale
-    j_big = jnp.maximum(0.05, 1000.0 * n * dtype_eps) * scale
+    j_base, j_big, eye = _jitter_scales(K, base_jitter)
 
     Kp = jax.lax.stop_gradient(K)
     L_probe = _chol(Kp + j_base[..., None, None] * eye)
@@ -170,12 +177,7 @@ def safe_chol_inv(K: jnp.ndarray, base_jitter: float = 0.0
     the TPU-native replacement for XLA's serialized TriangularSolve expander.
     On the blocked Pallas path (ops/chol.py) W is a byproduct of factorization.
     """
-    n = K.shape[-1]
-    dtype_eps = jnp.finfo(K.dtype).eps
-    scale = jnp.maximum(jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1), 1e-12)
-    eye = jnp.eye(n, dtype=K.dtype)
-    j_base = jnp.maximum(4.0 * n * dtype_eps, base_jitter) * scale
-    j_big = jnp.maximum(0.05, 1000.0 * n * dtype_eps) * scale
+    j_base, j_big, eye = _jitter_scales(K, base_jitter)
 
     Kp = jax.lax.stop_gradient(K)
     L_probe = _chol(Kp + j_base[..., None, None] * eye)

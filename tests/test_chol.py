@@ -183,8 +183,7 @@ def test_mvn_log_prob_centered_value_and_grads():
 
         def f_xla(K, y):
             L = jnp.linalg.cholesky(
-                K + 4.0 * n * jnp.finfo(jnp.float32).eps
-                * jnp.mean(jnp.diagonal(K)) * jnp.eye(n))
+                K + 4.0 * n * jnp.finfo(jnp.float32).eps * jnp.eye(n))
             w = jax.scipy.linalg.solve_triangular(L, y, lower=True)
             return (-0.5 * (jnp.sum(w**2) + n * jnp.log(2 * jnp.pi))
                     - jnp.sum(jnp.log(jnp.diagonal(L))))
