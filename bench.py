@@ -19,6 +19,8 @@ predict points/s, and for the headline an estimated FLOP/s and MXU utilization
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -227,16 +229,38 @@ def bench_vidkl_al():
     )
 
 
+CONFIGS = {
+    "vigp": bench_vigp_sparse_image,
+    "visparsegp": bench_visparsegp,
+    "mtgp": bench_mtgp_bo,
+    "vidkl": bench_vidkl_al,
+    "exactgp": bench_exactgp_headline,
+}
+
+
 def main():
-    # small configs first; the headline NUTS program runs LAST so its JSON line
-    # is the one single-line consumers parse
-    for fn in (bench_vigp_sparse_image, bench_visparsegp, bench_mtgp_bo,
-               bench_vidkl_al, bench_exactgp_headline):
+    # One subprocess per config: several large jit programs in one TPU process
+    # can fault the device (CLAUDE.md), and a fault must not take down the
+    # remaining configs.  Small configs first; the headline NUTS program runs
+    # LAST so its JSON line is the one single-line consumers parse.
+    for i, name in enumerate(("vigp", "visparsegp", "mtgp", "vidkl", "exactgp")):
+        if i:
+            time.sleep(10)  # let a faulted device recover between programs
         try:
-            fn()
-        except Exception as e:  # keep later configs alive on a single failure
-            emit(f"FAILED_{fn.__name__}", -1.0, "s", None, error=repr(e)[:300])
+            rc = subprocess.run(
+                [sys.executable, __file__, name], timeout=3600,
+            ).returncode
+            if rc != 0:
+                emit(f"FAILED_{name}", -1.0, "s", None, error=f"rc={rc}")
+        except Exception as e:
+            emit(f"FAILED_{name}", -1.0, "s", None, error=repr(e)[:300])
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        try:
+            CONFIGS[sys.argv[1]]()
+        except Exception as e:
+            emit(f"FAILED_{sys.argv[1]}", -1.0, "s", None, error=repr(e)[:300])
+    else:
+        main()

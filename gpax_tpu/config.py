@@ -33,6 +33,13 @@ class Config:
 
     default_jitter: float = 1e-6
     matmul_precision: str = "highest"
+    # Gram-matrix cross-term precision: 'highest' = full-f32 MXU passes
+    # (6-pass bf16, safest); 'compensated' = split-f32 (hi+lo bf16) with three
+    # 1-pass bf16 matmuls — 2x MXU throughput on the distance cross term, with
+    # |error| <= ~2^-18 * |x||z| * d from the dropped lo*lo term (bounded-error
+    # test in tests/test_pallas.py); safe_cholesky's jitter escalation absorbs
+    # the rare gram that lands indefinite at this precision.
+    gram_precision: str = "highest"
     # Fused Pallas gram kernels: 'auto' uses them on TPU for large-enough shapes,
     # 'always' forces them (interpret-mode on CPU), 'never' keeps pure XLA.
     use_pallas: str = "auto"

@@ -393,7 +393,18 @@ class MultivariateNormal(Distribution):
         if self._covariance is not None:
             from ..ops.chol import blocked_eligible
             from ..ops.linalg import mvn_log_prob_centered
+            from ..parallel.distributed_chol import (
+                active_sharded_linalg, make_sharded_mvn_log_prob,
+            )
 
+            ctx = active_sharded_linalg()
+            if (ctx is not None and self._covariance.ndim == 2
+                    and diff.ndim == 1):
+                # model-parallel likelihood: factorization + VJP sharded over
+                # the active mesh (parallel/distributed_chol.py)
+                mesh, axis_name, leaf = ctx
+                return make_sharded_mvn_log_prob(mesh, axis_name, leaf)(
+                    self._covariance, diff)
             if blocked_eligible(self._covariance.shape[-1],
                                 self._covariance.dtype):
                 # matmul-only custom-VJP density: the NUTS leapfrog hot path

@@ -68,8 +68,12 @@ def square_scaled_distance(X: jnp.ndarray, Z: jnp.ndarray,
     Zs = Z / lengthscale
     x2 = jnp.sum(Xs * Xs, axis=-1)
     z2 = jnp.sum(Zs * Zs, axis=-1)
-    cross = jnp.dot(Xs, Zs.T, preferred_element_type=Xs.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+    # 'compensated' gram_precision maps to Precision.HIGH — the hardware 3-pass
+    # bf16 split, arithmetically the hi/lo scheme of ops/pallas_gram.py
+    prec = (jax.lax.Precision.HIGH
+            if get_config().gram_precision == "compensated"
+            else jax.lax.Precision.HIGHEST)
+    cross = jnp.dot(Xs, Zs.T, preferred_element_type=Xs.dtype, precision=prec)
     r2 = x2[:, None] - 2.0 * cross + z2[None, :]
     return jnp.clip(r2, 0.0, None)
 

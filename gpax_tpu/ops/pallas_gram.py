@@ -44,18 +44,38 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
+def _split_f32_dot_nt(xs, zs):
+    """Compensated cross term: split each f32 operand into hi+lo bf16 halves and
+    take three 1-pass bf16 MXU matmuls (hi·hi + hi·lo + lo·hi), accumulating in
+    f32.  bf16×bf16→f32 products are exact (8+8 mantissa bits < 24), so the only
+    dropped term is lo·lo ≤ 2⁻¹⁸·|x||z| per element — vs 6 passes for HIGHEST."""
+    x_hi = xs.astype(jnp.bfloat16)
+    x_lo = (xs - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    z_hi = zs.astype(jnp.bfloat16)
+    z_lo = (zs - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+
+    def d(a, b):
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=jnp.float32)
+
+    return d(x_hi, z_hi) + (d(x_hi, z_lo) + d(x_lo, z_hi))
+
+
 def _gram_kernel(x_ref, z_ref, x2_ref, z2_ref, noise_ref, out_ref, *,
-                 kind: str, add_noise: bool):
+                 kind: str, add_noise: bool, precision: str):
     i = pl.program_id(0)
     j = pl.program_id(1)
     xs = x_ref[:]                       # (TM, d)
     zs = z_ref[:]                       # (TN, d)
-    cross = jax.lax.dot_general(
-        xs, zs, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU passes: bf16 errors
-        # exceed small noise diagonals and break the downstream Cholesky
-    )
+    if precision == "compensated":
+        cross = _split_f32_dot_nt(xs, zs)
+    else:
+        cross = jax.lax.dot_general(
+            xs, zs, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU passes: bf16
+            # errors exceed small noise diagonals and break downstream Cholesky
+        )
     r2 = x2_ref[:] - 2.0 * cross + z2_ref[:].reshape(1, -1)
     r2 = jnp.maximum(r2, 0.0)
     if kind == "rbf":
@@ -77,11 +97,11 @@ def _gram_kernel(x_ref, z_ref, x2_ref, z2_ref, noise_ref, out_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "add_noise", "interpret")
+    jax.jit, static_argnames=("kind", "add_noise", "interpret", "precision")
 )
 def pallas_gram(Xs: jnp.ndarray, Zs: jnp.ndarray, noise_eff: jnp.ndarray,
                 kind: str = "rbf", add_noise: bool = True,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, precision: str = "highest") -> jnp.ndarray:
     """Fused UNSCALED gram for pre-scaled inputs Xs (n, d), Zs (m, d):
     map(r²) + diag(noise_eff).  Caller multiplies by the output scale."""
     n, d = Xs.shape
@@ -103,7 +123,8 @@ def pallas_gram(Xs: jnp.ndarray, Zs: jnp.ndarray, noise_eff: jnp.ndarray,
     noise_p = _pad_to(noise_vec, n_pad, 0)[:, None]  # (n_pad, 1)
 
     grid = (n_pad // tm, m_pad // tn)
-    kernel = functools.partial(_gram_kernel, kind=kind, add_noise=add_noise)
+    kernel = functools.partial(_gram_kernel, kind=kind, add_noise=add_noise,
+                               precision=precision)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
@@ -135,25 +156,29 @@ def pallas_gram(Xs: jnp.ndarray, Zs: jnp.ndarray, noise_eff: jnp.ndarray,
 # with map'(r²) = −½·map(r²) for RBF and −(5/6)(1+√5 r)e^(−√5 r) for Matérn-5/2.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def pallas_gram_ad(Xs, Zs, noise_eff, kind: str = "rbf", add_noise: bool = True,
-                   interpret: bool = False):
+                   interpret: bool = False, precision: str = "highest"):
     return pallas_gram(Xs, Zs, noise_eff, kind=kind, add_noise=add_noise,
-                       interpret=interpret)
+                       interpret=interpret, precision=precision)
 
 
-def _pallas_gram_fwd(Xs, Zs, noise_eff, kind, add_noise, interpret):
+def _pallas_gram_fwd(Xs, Zs, noise_eff, kind, add_noise, interpret, precision):
     out = pallas_gram(Xs, Zs, noise_eff, kind=kind, add_noise=add_noise,
-                      interpret=interpret)
+                      interpret=interpret, precision=precision)
     return out, (Xs, Zs)
 
 
-def _pallas_gram_bwd(kind, add_noise, interpret, res, g):
+def _pallas_gram_bwd(kind, add_noise, interpret, precision, res, g):
     Xs, Zs = res
     x2 = jnp.sum(Xs * Xs, axis=-1)
     z2 = jnp.sum(Zs * Zs, axis=-1)
+    # backward recompute: Precision.HIGH is the hardware 3-pass bf16 split —
+    # the same arithmetic as the compensated forward
+    bwd_prec = (jax.lax.Precision.HIGH if precision == "compensated"
+                else jax.lax.Precision.HIGHEST)
     cross = jnp.dot(Xs, Zs.T, preferred_element_type=Xs.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=bwd_prec)
     r2 = jnp.maximum(x2[:, None] - 2.0 * cross + z2[None, :], 0.0)
     if kind == "rbf":
         dmap = -0.5 * jnp.exp(-0.5 * r2)
@@ -181,7 +206,7 @@ pallas_gram_ad.defvjp(_pallas_gram_fwd, _pallas_gram_bwd)
 
 def gram(X: jnp.ndarray, Z: jnp.ndarray, k_length, k_scale, noise,
          kind: str = "rbf", jitter: float = 1e-6,
-         interpret: bool = False) -> jnp.ndarray:
+         interpret: bool = False, precision: str | None = None) -> jnp.ndarray:
     """Kernel-signature-compatible fused gram.
 
     Computes ``k_scale · map(‖(x−z)/ℓ‖²)`` with ``(noise + jitter)·I`` added when
@@ -199,5 +224,8 @@ def gram(X: jnp.ndarray, Z: jnp.ndarray, k_length, k_scale, noise,
         ).astype(jnp.float32)
     else:
         noise_eff = jnp.zeros((n,), jnp.float32)
-    k = pallas_gram_ad(Xs, Zs, noise_eff, kind, add_noise, interpret)
+    if precision is None:
+        from ..config import get_config
+        precision = get_config().gram_precision
+    k = pallas_gram_ad(Xs, Zs, noise_eff, kind, add_noise, interpret, precision)
     return k_scale * k

@@ -77,6 +77,44 @@ def test_pallas_gram_vmap_and_vmap_grad():
     assert np.isfinite(np.asarray(gv)).all()
 
 
+@pytest.mark.parametrize("kind", ["rbf", "matern52"])
+def test_pallas_gram_compensated_error_bound(kind):
+    """Split-f32 (hi+lo bf16) gram: error vs HIGHEST bounded well below the
+    n-scaled noise floor, and the result stays PD with a small noise diagonal
+    (the CLAUDE.md failure mode the compensation must not reintroduce)."""
+    rng = np.random.default_rng(3)
+    n, d = 96, 64  # d at the Pallas dispatch boundary — worst accumulation case
+    X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    kl = jnp.asarray(rng.uniform(0.5, 2.0, d), jnp.float32)
+    noise = jnp.asarray(1e-3, jnp.float32)
+    hi = gram(X, X, kl, jnp.asarray(1.0), noise, kind=kind,
+              interpret=True, precision="highest")
+    co = gram(X, X, kl, jnp.asarray(1.0), noise, kind=kind,
+              interpret=True, precision="compensated")
+    err = float(jnp.max(jnp.abs(hi - co)))
+    # dropped lo*lo term: <= ~2^-18 per product * d accumulated ~ 2.4e-4 in r²;
+    # RBF maps it ~1:1, Matérn's sqrt(r²) amplifies near r=0 (~sqrt of the
+    # error) — both must stay below the 1e-3 noise floor
+    assert err < (5e-4 if kind == "rbf" else 1e-3), err
+    L = jnp.linalg.cholesky(co)
+    assert bool(jnp.all(jnp.isfinite(L)))
+
+
+def test_compensated_gram_gradients_finite():
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.normal(size=(24, 8)), jnp.float32)
+
+    def loss(kl):
+        return jnp.sum(gram(X, X, kl, jnp.asarray(1.0), jnp.asarray(0.1),
+                            kind="rbf", interpret=True, precision="compensated"))
+
+    g = jax.grad(loss)(jnp.ones(8))
+    g_ref = jax.grad(lambda kl: jnp.sum(
+        gram(X, X, kl, jnp.asarray(1.0), jnp.asarray(0.1),
+             kind="rbf", interpret=True, precision="highest")))(jnp.ones(8))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
 def test_pallas_gram_cross_no_noise():
     """Cross-covariance (different shapes) must NOT get the diagonal noise."""
     rng = np.random.default_rng(2)
