@@ -62,19 +62,27 @@ def _split_f32_dot_nt(xs, zs):
 
 
 def _gram_kernel(x_ref, z_ref, x2_ref, z2_ref, noise_ref, out_ref, *,
-                 kind: str, add_noise: bool, precision: str):
+                 kind: str, add_noise: bool, precision: str, interpret: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     xs = x_ref[:]                       # (TM, d)
     zs = z_ref[:]                       # (TN, d)
-    if precision == "compensated":
+    if precision == "compensated" and interpret:
+        # interpret mode (CPU tests): precision flags are no-ops there, so the
+        # hi+lo split must be explicit to exercise the real arithmetic
         cross = _split_f32_dot_nt(xs, zs)
     else:
+        # compiled: HIGH = the hardware 3-pass bf16 split (hi·hi + hi·lo +
+        # lo·hi), HIGHEST = 6 passes.  (A manual bf16 split inside the kernel
+        # fails Mosaic compilation on this toolchain; the precision attribute
+        # lowers to the identical MXU pass structure.)
+        prec = (jax.lax.Precision.HIGH if precision == "compensated"
+                else jax.lax.Precision.HIGHEST)
         cross = jax.lax.dot_general(
             xs, zs, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU passes: bf16
-            # errors exceed small noise diagonals and break downstream Cholesky
+            precision=prec,  # bf16 errors at DEFAULT exceed small noise
+            # diagonals and break the downstream Cholesky
         )
     r2 = x2_ref[:] - 2.0 * cross + z2_ref[:].reshape(1, -1)
     r2 = jnp.maximum(r2, 0.0)
@@ -124,7 +132,7 @@ def pallas_gram(Xs: jnp.ndarray, Zs: jnp.ndarray, noise_eff: jnp.ndarray,
 
     grid = (n_pad // tm, m_pad // tn)
     kernel = functools.partial(_gram_kernel, kind=kind, add_noise=add_noise,
-                               precision=precision)
+                               precision=precision, interpret=interpret)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),

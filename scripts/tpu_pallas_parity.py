@@ -48,6 +48,25 @@ def timeit(fn, *args, reps=5):
     return (time.perf_counter() - t0) / reps, out
 
 
+def loop_timeit(fn, X, reps=16):
+    """On-device per-call time: `reps` data-dependent iterations inside ONE jit
+    program, so tunnel dispatch latency (~5 ms/call through axon) amortizes
+    away and the number reflects the kernel itself."""
+    @jax.jit
+    def looped(X):
+        def body(i, acc):
+            out = fn(X * (1.0 + 1e-9 * jnp.float32(i)))
+            return acc + out[0, 0]
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    r = looped(X)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = looped(X)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / reps
+
+
 def check(name, **kw):
     kw["name"] = name
     results["checks"].append(kw)
@@ -66,8 +85,10 @@ def gram_parity():
             pall = jax.jit(lambda X: gram(X, X, kl, ks, nz, kind=kind))
             xla = jax.jit(lambda X: ref_k(
                 X, X, {"k_length": kl, "k_scale": ks}, nz))
-            t_p, out_p = timeit(pall, X)
-            t_x, out_x = timeit(xla, X)
+            t_p = loop_timeit(lambda X: gram(X, X, kl, ks, nz, kind=kind), X)
+            t_x = loop_timeit(
+                lambda X: ref_k(X, X, {"k_length": kl, "k_scale": ks}, nz), X)
+            out_p, out_x = pall(X), xla(X)
             err = float(jnp.max(jnp.abs(out_p - out_x)))
 
             # VJP parity through both paths
@@ -88,11 +109,14 @@ def compensated():
     for n, d in [(2048, 64), (4096, 64), (4096, 8)]:
         X = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
         kl = jnp.ones(d, jnp.float32)
-        hi = jax.jit(lambda X: gram(X, X, kl, 1.0, 1e-3, precision="highest"))
-        co = jax.jit(lambda X: gram(X, X, kl, 1.0, 1e-3,
-                                    precision="compensated"))
-        t_h, out_h = timeit(hi, X, reps=10)
-        t_c, out_c = timeit(co, X, reps=10)
+        t_h = loop_timeit(
+            lambda X: gram(X, X, kl, 1.0, 1e-3, precision="highest"), X)
+        t_c = loop_timeit(
+            lambda X: gram(X, X, kl, 1.0, 1e-3, precision="compensated"), X)
+        out_h = jax.jit(lambda X: gram(X, X, kl, 1.0, 1e-3,
+                                       precision="highest"))(X)
+        out_c = jax.jit(lambda X: gram(X, X, kl, 1.0, 1e-3,
+                                       precision="compensated"))(X)
         err = float(jnp.max(jnp.abs(out_h - out_c)))
         pd = bool(jnp.all(jnp.isfinite(jnp.linalg.cholesky(out_c))))
         check(f"compensated_gram_n{n}_d{d}",
@@ -110,8 +134,9 @@ def trtri():
         eye = jnp.eye(n, dtype=jnp.float32)
         f_p = jax.jit(lambda L: blocked_trtri(L))
         f_x = jax.jit(lambda L: solve_triangular(L, eye, lower=True))
-        t_p, W_p = timeit(f_p, L)
-        t_x, W_x = timeit(f_x, L)
+        t_p = loop_timeit(lambda L: blocked_trtri(L), L)
+        t_x = loop_timeit(lambda L: solve_triangular(L, eye, lower=True), L)
+        W_p, W_x = f_p(L), f_x(L)
         # residual-based check: ||L @ W - I||_max (conditioning-appropriate)
         res_p = float(jnp.max(jnp.abs(L @ W_p - eye)))
         res_x = float(jnp.max(jnp.abs(L @ W_x - eye)))

@@ -115,6 +115,41 @@ def test_compensated_gram_gradients_finite():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
 
 
+def test_pallas_dispatch_boundary():
+    """_pallas_eligible: the fused path takes 2-D inputs with d <= 64 and
+    n*m >= pallas_min_elems on TPU; everything else falls back to XLA.
+    DKL embeddings (z_dim <= 64) ride the fused path; wider features and
+    batched (vmapped) calls must not."""
+    from gpax_tpu.config import set_config
+    from gpax_tpu.kernels.kernels import _pallas_eligible
+
+    rng = np.random.default_rng(0)
+    big = jnp.asarray(rng.normal(size=(256, 64)), jnp.float32)
+    wide = jnp.asarray(rng.normal(size=(256, 65)), jnp.float32)
+    small = jnp.asarray(rng.normal(size=(8, 2)), jnp.float32)
+    batched = jnp.asarray(rng.normal(size=(3, 64, 2)), jnp.float32)
+
+    set_config(use_pallas="always")
+    try:
+        assert _pallas_eligible(big, big, {})
+        assert not _pallas_eligible(batched, batched, {})  # vmapped: XLA path
+    finally:
+        set_config(use_pallas="auto")
+
+    # on CPU (auto) nothing is eligible; on TPU the same predicate enforces
+    # the d<=64 / min_elems boundary — assert the pure-shape parts here
+    assert not _pallas_eligible(small, small, {})
+    if jax.default_backend() in ("tpu", "axon"):
+        assert _pallas_eligible(big, big, {})
+        assert not _pallas_eligible(wide, wide, {})
+
+    set_config(use_pallas="never")
+    try:
+        assert not _pallas_eligible(big, big, {})
+    finally:
+        set_config(use_pallas="auto")
+
+
 def test_pallas_gram_cross_no_noise():
     """Cross-covariance (different shapes) must NOT get the diagonal noise."""
     rng = np.random.default_rng(2)
