@@ -48,13 +48,18 @@ def emit(metric, value, unit, vs_baseline, **extra):
     }), flush=True)
 
 
-def bench_exactgp_headline():
-    """BASELINE config 1: ExactGP RBF 1D NUTS fit, n=HEADLINE_N."""
+def bench_exactgp(n, segment_size=None, warm_time=True):
+    """ExactGP RBF 1D NUTS fit at size n (BASELINE config 1; north star n=8k).
+
+    segment_size: run the sampler in bounded device programs (CLAUDE.md: one
+    huge program per process; segments keep each device call small at n=8k).
+    warm_time: time a second run after a warmup run (excludes compile); for
+    very large n a single timed run including compile is reported instead.
+    """
     import gpax_tpu
     from gpax_tpu.ppl import initialize_model
-    from gpax_tpu.infer.nuts import run_nuts
+    from gpax_tpu.infer.nuts import run_nuts, run_nuts_segmented
 
-    n = HEADLINE_N
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), dtype=jnp.float32)
     y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
@@ -63,14 +68,26 @@ def bench_exactgp_headline():
     gp.X_train, gp.y_train = X, y
     info = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
 
-    fit = jax.jit(
-        lambda k: run_nuts(
-            info.potential_fn, info.init_unconstrained, k,
-            NUM_WARMUP, NUM_SAMPLES, max_tree_depth=MAX_DEPTH,
-        )[:2]
-    )
-    zs, stats = fit(jax.random.PRNGKey(1))
-    jax.block_until_ready(zs)
+    if segment_size:
+        def fit(k):
+            zs, stats, _ = run_nuts_segmented(
+                info.potential_fn, info.init_unconstrained, k,
+                NUM_WARMUP, NUM_SAMPLES, max_tree_depth=MAX_DEPTH,
+                segment_size=segment_size)
+            return zs, stats
+    else:
+        fit = jax.jit(
+            lambda k: run_nuts(
+                info.potential_fn, info.init_unconstrained, k,
+                NUM_WARMUP, NUM_SAMPLES, max_tree_depth=MAX_DEPTH,
+            )[:2]
+        )
+    compiled_note = "warm"
+    if warm_time:
+        zs, stats = fit(jax.random.PRNGKey(1))
+        jax.block_until_ready(zs)
+    else:
+        compiled_note = "incl_compile"
     t0 = time.time()
     zs, stats = fit(jax.random.PRNGKey(2))
     jax.block_until_ready(zs)
@@ -88,7 +105,20 @@ def bench_exactgp_headline():
         est_tflops_per_s=flops / fit_s / 1e12,
         est_mxu_util_pct=100.0 * 3.0 * flops / fit_s / V5E_BF16_PEAK,
         accept_rate=float(np.asarray(stats["accept_prob"]).mean()),
+        timing=compiled_note,
     )
+
+
+def bench_exactgp_headline():
+    # segment_size: one unsegmented 100+100 program at n=4096 faults the TPU
+    # runtime (same fault class as N8192_NOTE.md); bounded segments run clean
+    bench_exactgp(HEADLINE_N, segment_size=50)
+
+
+def bench_exactgp_8k():
+    """North-star config: n=8192 NUTS fit (r01 faulted the device here; the
+    matmul-only MVN VJP program of r02 runs it — see scripts/tpu_n8192_probe)."""
+    bench_exactgp(8192, segment_size=25, warm_time=False)
 
 
 def bench_vigp_sparse_image():
@@ -176,8 +206,11 @@ def bench_mtgp_bo():
     key_fit, key_pred = gpax_tpu.utils.get_keys()
     mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2, rank=2)
     t0 = time.time()
+    # segment_size: one 2000-iteration program over the gather-heavy LCM kernel
+    # faulted the TPU runtime (same program-shape fault class as N8192_NOTE.md);
+    # bounded segments with exact adaptation carry-over avoid it
     mtgp.fit(key_fit, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
-             num_warmup=1000, num_samples=1000,
+             num_warmup=1000, num_samples=1000, segment_size=250,
              print_summary=False, progress_bar=False)
     fit_s = time.time() - t0
     grid = np.linspace(0, 2, 101)
@@ -235,17 +268,20 @@ CONFIGS = {
     "mtgp": bench_mtgp_bo,
     "vidkl": bench_vidkl_al,
     "exactgp": bench_exactgp_headline,
+    "exactgp8k": bench_exactgp_8k,
 }
 
 
 def main():
     # One subprocess per config: several large jit programs in one TPU process
     # can fault the device (CLAUDE.md), and a fault must not take down the
-    # remaining configs.  Small configs first; the headline NUTS program runs
-    # LAST so its JSON line is the one single-line consumers parse.
-    for i, name in enumerate(("vigp", "visparsegp", "mtgp", "vidkl", "exactgp")):
+    # remaining configs.  Small configs first; the north-star n=8192 NUTS
+    # program runs LAST so its JSON line is the one single-line consumers
+    # parse (with the known-good n=4096 line emitted just before as backstop).
+    for i, name in enumerate(("vigp", "visparsegp", "mtgp", "vidkl",
+                              "exactgp", "exactgp8k")):
         if i:
-            time.sleep(10)  # let a faulted device recover between programs
+            time.sleep(75)  # a faulted device needs ~1 min to recover
         try:
             rc = subprocess.run(
                 [sys.executable, __file__, name], timeout=3600,

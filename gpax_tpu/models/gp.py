@@ -58,6 +58,9 @@ class ExactGP:
     """
 
     _exact_moments_ok = True
+    # instance arrays that jitted prediction programs bake in as constants —
+    # the _cached_program guard re-traces when any of their identities change
+    _traced_constants = ("X_train", "y_train")
 
     def __init__(
         self,
@@ -285,10 +288,6 @@ class ExactGP:
         num_samples = len(next(iter(samples.values())))
         keys = jra.split(rng_key, num_samples)
 
-        def single(args):
-            key, params = args
-            return self._predict(key, X_new, params, n, noiseless, **kwargs)
-
         # chunk the sample axis: a full vmap materializes S x (n² + m²) grams,
         # which exceeds HBM for production S; lax.map(batch_size) runs vmapped
         # chunks sequentially with bounded live memory sized from the device
@@ -300,9 +299,21 @@ class ExactGP:
         from ..utils import device_memory_budget
 
         cs = int(max(1, min(num_samples, device_memory_budget() // max(bytes_per, 1))))
-        y_means, y_sampled = jax.jit(
-            lambda ks, ss: jax.lax.map(single, (ks, ss), batch_size=cs)
-        )(keys, samples)
+
+        def builder():
+            def impl(Xn, ks, ss):
+                def single(args):
+                    key, params = args
+                    return self._predict(key, Xn, params, n, noiseless, **kwargs)
+
+                return jax.lax.map(single, (ks, ss), batch_size=cs)
+
+            return jax.jit(impl)
+
+        prog = self._cached_program(
+            "predict", builder, X_new, samples,
+            (cs, n, noiseless), kwargs)
+        y_means, y_sampled = prog(X_new, keys, samples)
         if filter_nans:
             mask = ~jnp.isnan(y_sampled).any(axis=tuple(range(1, y_sampled.ndim)))
             y_sampled = y_sampled[mask]
@@ -413,18 +424,26 @@ class ExactGP:
             samples = self.get_samples(chain_dim=False)
         num_samples = len(next(iter(samples.values())))
 
-        def single(params):
-            return self.get_predictive_mean_var(X_new, params, noiseless, **kwargs)
-
         bytes_per = 4 * (
             self.X_train.shape[0] ** 2 + 2 * self.X_train.shape[0] * X_new.shape[0]
         )
         from ..utils import device_memory_budget
 
         cs = int(max(1, min(num_samples, device_memory_budget() // max(bytes_per, 1))))
-        means, variances = jax.jit(
-            lambda ss: jax.lax.map(single, ss, batch_size=cs)
-        )(samples)
+
+        def builder():
+            def impl(Xn, ss):
+                def single(params):
+                    return self.get_predictive_mean_var(
+                        Xn, params, noiseless, **kwargs)
+
+                return jax.lax.map(single, ss, batch_size=cs)
+
+            return jax.jit(impl)
+
+        prog = self._cached_program(
+            "predict_moments", builder, X_new, samples, (cs, noiseless), kwargs)
+        means, variances = prog(X_new, samples)
         return means.mean(0), variances.mean(0) + means.var(0)
 
     def sample_from_prior(self, rng_key: jnp.ndarray, X: jnp.ndarray,
@@ -436,6 +455,37 @@ class ExactGP:
         return samples["y"]
 
     # ------------------------------------------------------------- utilities
+
+    def _cached_program(self, kind, builder, X_new, samples, extra, kwargs):
+        """Executable cache for per-call jitted prediction programs.
+
+        ``jax.jit`` of a FRESH closure never hits jax's executable cache (it is
+        keyed on function identity), so re-jitting per predict call recompiles
+        from scratch — minutes per call through a TPU tunnel, and every
+        active-learning iteration pays it.  Programs are cached on the
+        instance, keyed by input structure plus the IDENTITY of the training
+        arrays the closure bakes in as constants (held strongly in the cache
+        value so their ids cannot be recycled); any non-hashable kwargs fall
+        back to the uncached path."""
+        if not all(isinstance(v, (int, float, bool, str, type(None)))
+                   for v in kwargs.values()):
+            return builder()
+        cache = self.__dict__.setdefault("_prog_cache", {})
+        state = tuple(getattr(self, name, None) for name in self._traced_constants)
+        leaves, treedef = jax.tree_util.tree_flatten(samples)
+        sig = (
+            kind, X_new.shape, str(X_new.dtype),
+            str(treedef),
+            tuple((v.shape, str(v.dtype)) for v in leaves),
+            extra, tuple(sorted(kwargs.items())),
+            tuple(id(s) for s in state),
+        )
+        hit = cache.get(sig)
+        if hit is not None and all(a is b for a, b in zip(hit[0], state)):
+            return hit[1]
+        prog = builder()
+        cache[sig] = (state, prog)
+        return prog
 
     def _set_data(self, X: jnp.ndarray, y: Optional[jnp.ndarray] = None):
         X = jnp.asarray(X)

@@ -123,12 +123,19 @@ class MeasuredNoiseGP(ExactGP):
         num_samples = len(next(iter(samples.values())))
         keys = jra.split(rng_key, num_samples)
 
-        def single(key, params):
-            return self._predict(
-                key, X_new, params, noise_predicted, n, noiseless, **kwargs
-            )
+        def builder():
+            def impl(Xn, ks, ss, np_):
+                def single(key, params):
+                    return self._predict(
+                        key, Xn, params, np_, n, noiseless, **kwargs)
 
-        y_means, y_sampled = jax.jit(jax.vmap(single))(keys, samples)
+                return jax.vmap(single)(ks, ss)
+
+            return jax.jit(impl)
+
+        prog = self._cached_program(
+            "mngp_predict", builder, X_new, samples, (n, noiseless), kwargs)
+        y_means, y_sampled = prog(X_new, keys, samples, noise_predicted)
         if filter_nans:
             mask = ~jnp.isnan(y_sampled).any(axis=tuple(range(1, y_sampled.ndim)))
             y_sampled = y_sampled[mask]

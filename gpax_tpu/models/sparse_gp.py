@@ -26,6 +26,8 @@ from .vigp import viGP
 class viSparseGP(viGP):
     """Variational sparse GP: VFE bound, SVI-optimized inducing points."""
 
+    _traced_constants = ("X_train", "y_train", "Xu")
+
     def __init__(self, input_dim: int, kernel="RBF",
                  mean_fn: Optional[Callable] = None,
                  kernel_prior: Optional[Callable] = None,

@@ -99,10 +99,25 @@ class sPM:
         num_samples = len(next(iter(samples.values())))
         keys = jra.split(rng_key, num_samples)
 
-        def predictive(key, params):
-            return self.sample_single_posterior_predictive(key, X_new, params, n_draws)
+        # executable cached per input signature: a fresh jit per call would
+        # recompile on every hypothesis-learning step (jit caches on function
+        # identity), minutes each through a TPU tunnel
+        cache = self.__dict__.setdefault("_prog_cache", {})
+        leaves, treedef = jax.tree_util.tree_flatten(samples)
+        sig = (X_new.shape, str(X_new.dtype), str(treedef),
+               tuple((v.shape, str(v.dtype)) for v in leaves), n_draws)
+        prog = cache.get(sig)
+        if prog is None:
+            def impl(Xn, ks, ss):
+                def predictive(key, params):
+                    return self.sample_single_posterior_predictive(
+                        key, Xn, params, n_draws)
 
-        return jax.jit(jax.vmap(predictive))(keys, samples)
+                return jax.vmap(predictive)(ks, ss)
+
+            prog = jax.jit(impl)
+            cache[sig] = prog
+        return prog(X_new, keys, samples)
 
     def predict(self, rng_key, X_new: jnp.ndarray,
                 samples: Optional[Dict[str, jnp.ndarray]] = None, n: int = 1,

@@ -176,16 +176,28 @@ class viDKL(ExactGP):
         else:
             nn_params, k_params = params
 
-        if self.y_train.ndim == 2:
-            def single(nn_p, k_p, yi):
+        def builder():
+            def impl(Xn, pp):
+                nn_p, k_p = pp
+                if self.y_train.ndim == 2:
+                    def single(nn_pi, k_pi, yi):
+                        mean, cov = self.get_mvn_posterior(
+                            Xn, nn_pi, k_pi, noiseless, yi, **kwargs)
+                        return mean, cov.diagonal()
+
+                    return jax.vmap(single)(nn_p, k_p, self.y_train)
                 mean, cov = self.get_mvn_posterior(
-                    X_new, nn_p, k_p, noiseless, yi, **kwargs
-                )
+                    Xn, nn_p, k_p, noiseless, **kwargs)
                 return mean, cov.diagonal()
 
-            return jax.vmap(single)(nn_params, k_params, self.y_train)
-        mean, cov = self.get_mvn_posterior(X_new, nn_params, k_params, noiseless, **kwargs)
-        return mean, cov.diagonal()
+            return jax.jit(impl)
+
+        # compiled + cached (see ExactGP._cached_program): un-jitted prediction
+        # dispatches op-by-op, a device round trip each through a TPU tunnel
+        prog = self._cached_program(
+            "vidkl_predict", builder, X_new, (nn_params, k_params),
+            (noiseless,), kwargs)
+        return prog(X_new, (nn_params, k_params))
 
     def predict_in_batches(self, rng_key, X_new: jnp.ndarray, batch_size: int = 100,
                            params: Optional[Tuple[Dict, Dict]] = None,

@@ -79,8 +79,20 @@ class viGP(ExactGP):
             X_new = jax.device_put(X_new, device)
         if samples is None:
             samples = self.get_samples()
-        mean, cov = self.get_mvn_posterior(X_new, samples, noiseless, **kwargs)
-        return mean, cov.diagonal()
+
+        def builder():
+            def impl(Xn, ss):
+                mean, cov = self.get_mvn_posterior(Xn, ss, noiseless, **kwargs)
+                return mean, cov.diagonal()
+
+            return jax.jit(impl)
+
+        # one compiled program per (shape, training-data) signature: un-jitted
+        # execution dispatches op-by-op (a round trip each through a TPU
+        # tunnel), and a fresh jit per call recompiles — see ExactGP._cached_program
+        prog = self._cached_program(
+            "vigp_predict", builder, X_new, samples, (noiseless,), kwargs)
+        return prog(X_new, samples)
 
     def predict_in_batches(self, rng_key, X_new: jnp.ndarray, batch_size: int = 100,
                            samples: Optional[Dict[str, jnp.ndarray]] = None,

@@ -65,24 +65,35 @@ def _gram_kernel(x_ref, z_ref, x2_ref, z2_ref, noise_ref, out_ref, *,
                  kind: str, add_noise: bool, precision: str, interpret: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    xs = x_ref[:]                       # (TM, d)
-    zs = z_ref[:]                       # (TN, d)
-    if precision == "compensated" and interpret:
-        # interpret mode (CPU tests): precision flags are no-ops there, so the
-        # hi+lo split must be explicit to exercise the real arithmetic
+    xs = x_ref[:]                       # (TM, d) f32 — or (TM, 2d) bf16 hi|lo
+    zs = z_ref[:]                       # (TN, d) f32 — or (TN, 2d) bf16 hi|lo
+    dn = (((1,), (1,)), ((), ()))
+    if precision == "compensated" and not interpret:
+        # compiled compensated path: operands arrive pre-split as bf16 hi|lo
+        # concatenated on the feature axis (Mosaic supports neither
+        # Precision.HIGH nor in-kernel f32→bf16 split casts, but bf16 matmul
+        # with f32 accumulation is the MXU's native mode); three 1-pass dots
+        # hi·hi + (hi·lo + lo·hi) — vs HIGHEST's 6 passes
+        df = xs.shape[1] // 2
+        xh, xl = xs[:, :df], xs[:, df:]
+        zh, zl = zs[:, :df], zs[:, df:]
+
+        def dd(a, b):
+            return jax.lax.dot_general(a, b, dn,
+                                       preferred_element_type=jnp.float32)
+
+        cross = dd(xh, zh) + (dd(xh, zl) + dd(xl, zh))
+    elif precision == "compensated":
+        # interpret mode (CPU tests): same arithmetic, split done in-kernel
+        # (precision flags are no-ops on CPU, so the split must be explicit)
         cross = _split_f32_dot_nt(xs, zs)
     else:
-        # compiled: HIGH = the hardware 3-pass bf16 split (hi·hi + hi·lo +
-        # lo·hi), HIGHEST = 6 passes.  (A manual bf16 split inside the kernel
-        # fails Mosaic compilation on this toolchain; the precision attribute
-        # lowers to the identical MXU pass structure.)
-        prec = (jax.lax.Precision.HIGH if precision == "compensated"
-                else jax.lax.Precision.HIGHEST)
         cross = jax.lax.dot_general(
-            xs, zs, dimension_numbers=(((1,), (1,)), ((), ())),
+            xs, zs, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
-            precision=prec,  # bf16 errors at DEFAULT exceed small noise
-            # diagonals and break the downstream Cholesky
+            precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU passes: bf16
+            # errors at DEFAULT exceed small noise diagonals and break the
+            # downstream Cholesky
         )
     r2 = x2_ref[:] - 2.0 * cross + z2_ref[:].reshape(1, -1)
     r2 = jnp.maximum(r2, 0.0)
@@ -123,8 +134,19 @@ def pallas_gram(Xs: jnp.ndarray, Zs: jnp.ndarray, noise_eff: jnp.ndarray,
     tn = min(TILE_N, max(128, 1 << max(7, (m - 1).bit_length())))
     n_pad = pl.cdiv(n, tm) * tm
     m_pad = pl.cdiv(m, tn) * tn
-    Xp = _pad_to(Xs, n_pad, 0)
-    Zp = _pad_to(Zs, m_pad, 0)
+    if precision == "compensated" and not interpret:
+        # pre-split hi|lo bf16 operands for the compiled compensated path
+        Xhi = Xs.astype(jnp.bfloat16)
+        Xlo = (Xs - Xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        Zhi = Zs.astype(jnp.bfloat16)
+        Zlo = (Zs - Zhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        Xk = jnp.concatenate([Xhi, Xlo], axis=1)
+        Zk = jnp.concatenate([Zhi, Zlo], axis=1)
+        dk = 2 * d
+    else:
+        Xk, Zk, dk = Xs, Zs, d
+    Xp = _pad_to(Xk, n_pad, 0)
+    Zp = _pad_to(Zk, m_pad, 0)
     x2p = _pad_to(x2, n_pad, 0)[:, None]            # (n_pad, 1)
     z2p = _pad_to(z2, m_pad, 0)[:, None]            # (m_pad, 1)
     noise_vec = jnp.broadcast_to(jnp.asarray(noise_eff, jnp.float32), (n,))
@@ -138,8 +160,8 @@ def pallas_gram(Xs: jnp.ndarray, Zs: jnp.ndarray, noise_eff: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, dk), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, dk), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

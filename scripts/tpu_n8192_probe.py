@@ -59,6 +59,16 @@ def variant_short():
             "accept": float(np.asarray(stats["accept_prob"]).mean())}
 
 
+def variant_legacy():
+    """r01-style program (use_pallas_chol='never': safe_cholesky +
+    solve_triangular density, generic VJP) — the path that faulted at r01.
+    Run ONLY to attribute a fix if 'short' succeeds."""
+    import gpax_tpu
+
+    gpax_tpu.set_config(use_pallas_chol="never")
+    return variant_short()
+
+
 def variant_potgrad():
     import jax.flatten_util
 
@@ -78,7 +88,8 @@ def variant_potgrad():
 
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "short"
-    fn = {"short": variant_short, "potgrad": variant_potgrad}[variant]
+    fn = {"short": variant_short, "potgrad": variant_potgrad,
+          "legacy": variant_legacy}[variant]
     try:
         out = fn()
         out.update(variant=variant, n=N, ok=True)
