@@ -35,6 +35,26 @@ from ..utils import split_in_batches
 kernel_fn_type = Callable[..., jnp.ndarray]
 
 
+def _auto_segment_size(n_points: int, total: int) -> Optional[int]:
+    """TPU auto-segmenting: bound the sampler's per-device-call duration.
+
+    The TPU runtime kills long-running device calls — observed as UNAVAILABLE
+    "kernel fault" whenever one call was expected to run multiple minutes,
+    while every call bounded under ~a minute succeeded (full A/B evidence in
+    N8192_NOTE.md).  Estimate per-transition cost from the measured
+    216 ms/leapfrog at n=8192 (cubic in n, ~64 leapfrogs per adapted
+    transition) and run the sampler in bounded segments whenever the whole run
+    would exceed one acceptable device call.  Explicit ``segment_size=``
+    always wins; CPU runs are never segmented."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    s_per_leapfrog = 0.216 * (n_points / 8192.0) ** 3
+    per_transition = 64.0 * s_per_leapfrog
+    if per_transition * total <= 60.0:
+        return None  # the whole run fits in one acceptable device call
+    return max(1, min(total, int(30.0 / max(per_transition, 1e-9))))
+
+
 class ExactGP:
     """Fully Bayesian exact GP.
 
@@ -208,6 +228,12 @@ class ExactGP:
                     [jnp.zeros((n,), X.dtype), jnp.full((pad,), 1e2, X.dtype)]
                 )
                 fit_args = (X_fit, y_fit, noise_mask)
+
+        if segment_size is None and num_chains == 1:
+            segment_size = _auto_segment_size(
+                fit_args[0].shape[-2] if fit_args[0].ndim > 1 else
+                fit_args[0].shape[0],
+                num_warmup + num_samples)
 
         self.mcmc = MCMC(
             NUTS(self.model, init_strategy="median"),

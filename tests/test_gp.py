@@ -238,3 +238,21 @@ def test_fit_under_x64(monkeypatch):
         assert np.isfinite(np.asarray(mean)).all()
     finally:
         gpax_tpu.enable_x64(False)
+
+
+def test_auto_segment_size_policy():
+    """TPU device-call bounding policy (N8192_NOTE.md): no segmenting on CPU
+    or for small runs; bounded segments for large-n long runs."""
+    import unittest.mock as mock
+
+    from gpax_tpu.models.gp import _auto_segment_size
+
+    # CPU backend (what tests run under): never auto-segment
+    assert _auto_segment_size(8192, 200) is None
+
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert _auto_segment_size(256, 200) is None      # tiny: one call fine
+        seg = _auto_segment_size(8192, 200)
+        assert seg is not None and 1 <= seg <= 5          # ~13.8 s/transition
+        seg4k = _auto_segment_size(4096, 200)
+        assert seg4k is not None and 10 <= seg4k <= 60    # ~1.7 s/transition
