@@ -257,5 +257,31 @@ def gram(X: jnp.ndarray, Z: jnp.ndarray, k_length, k_scale, noise,
     if precision is None:
         from ..config import get_config
         precision = get_config().gram_precision
+    if (precision == "compensated" and not interpret
+            and jax.default_backend() in ("tpu", "axon")):
+        # Mosaic on this toolchain crashes (remote-compile HTTP 500) on ANY
+        # bf16 operand form in this kernel — in-kernel casts and pre-split
+        # hi|lo inputs alike — and rejects Precision.HIGH outright.  Compiled
+        # compensated grams therefore take the plain XLA formula with the
+        # hardware 3-pass bf16 precision attribute (identical arithmetic);
+        # interpret mode keeps the explicit in-kernel split for CPU tests.
+        hi = jax.lax.Precision.HIGH
+        cross = jnp.dot(Xs, Zs.T, preferred_element_type=jnp.float32,
+                        precision=hi)
+        x2 = jnp.sum(Xs * Xs, axis=-1)
+        z2 = jnp.sum(Zs * Zs, axis=-1)
+        r2 = jnp.maximum(x2[:, None] - 2.0 * cross + z2[None, :], 0.0)
+        if kind == "rbf":
+            k = jnp.exp(-0.5 * r2)
+        elif kind == "matern52":
+            r = jnp.sqrt(jnp.maximum(r2, 1e-10))
+            s5r = _SQRT5 * r
+            k = (1.0 + s5r + (5.0 / 3.0) * r2) * jnp.exp(-s5r)
+        else:
+            raise ValueError(kind)
+        if add_noise:
+            idx = jnp.arange(n)
+            k = k.at[idx, idx].add(noise_eff)
+        return k_scale * k
     k = pallas_gram_ad(Xs, Zs, noise_eff, kind, add_noise, interpret, precision)
     return k_scale * k
