@@ -34,11 +34,13 @@ class Config:
     default_jitter: float = 1e-6
     matmul_precision: str = "highest"
     # Gram-matrix cross-term precision: 'highest' = full-f32 MXU passes
-    # (6-pass bf16, safest); 'compensated' = split-f32 (hi+lo bf16) with three
-    # 1-pass bf16 matmuls — 2x MXU throughput on the distance cross term, with
-    # |error| <= ~2^-18 * |x||z| * d from the dropped lo*lo term (bounded-error
-    # test in tests/test_pallas.py); safe_cholesky's jitter escalation absorbs
-    # the rare gram that lands indefinite at this precision.
+    # (6-pass bf16, safest, DEFAULT); 'compensated' = split-f32 (hi+lo bf16,
+    # three 1-pass matmuls), |error| <= ~2e-3 absolute at d=64 (bounded-error
+    # tests in tests/test_pallas.py; jitter escalation absorbs rare indefinite
+    # grams).  MEASURED on v5e (PALLAS_PARITY_r02.json): GP gram shapes are
+    # latency/bandwidth-bound, not MXU-pass-bound, so 'compensated' does NOT
+    # pay there (0.65-0.87x vs the fused HIGHEST Pallas kernel) — it exists
+    # for wide-feature workloads and future hardware where passes dominate.
     gram_precision: str = "highest"
     # Fused Pallas gram kernels: 'auto' uses them on TPU for large-enough shapes,
     # 'always' forces them (interpret-mode on CPU), 'never' keeps pure XLA.

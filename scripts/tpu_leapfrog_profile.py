@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,9 +75,31 @@ def profile_n(n, reps):
         lambda W: jnp.matmul(W.T, W, precision=jax.lax.Precision.DEFAULT),
         W, reps) * 1e3
 
+    # ablations: forward-only density, density fwd+vjp on a prebuilt gram,
+    # gram fwd+vjp — brackets where potgrad time beyond raw components goes
+    from gpax_tpu.ops.linalg import mvn_log_prob_centered
+
+    diff = jnp.asarray(rng.normal(size=n), jnp.float32)
+    Kpd = K  # SPD by construction above
+    out["mvn_fwd_ms"] = loop_time(
+        lambda K: mvn_log_prob_centered(K, diff), Kpd, reps) * 1e3
+
+    def mvn_vjp(K):
+        v, gr = jax.value_and_grad(
+            lambda K: mvn_log_prob_centered(K, diff))(K)
+        return v + gr[0, 0]
+
+    out["mvn_vjp_ms"] = loop_time(mvn_vjp, Kpd, reps) * 1e3
+
+    def gram_vjp(X):
+        v, gr = jax.value_and_grad(
+            lambda X: gram(X, X, kl, 1.0, 0.1).sum())(X)
+        return v + gr[0, 0]
+
+    out["gram_vjp_ms"] = loop_time(gram_vjp, X, reps) * 1e3
+
     import gpax_tpu
     from gpax_tpu.ppl import initialize_model
-    import jax.flatten_util
 
     y = jnp.sin(2 * X[:, 0])
     gp = gpax_tpu.ExactGP(1, "RBF")
@@ -98,6 +121,21 @@ def profile_n(n, reps):
     r = pot_loop(zf)
     jax.block_until_ready(r)
     out["potgrad_ms"] = (time.perf_counter() - t0) / reps * 1e3
+
+    pot = lambda z: info.potential_fn(unravel(z))  # noqa: E731
+
+    @jax.jit
+    def pot_fwd_loop(z):
+        def body(i, z):
+            return z + 1e-9 * pot(z)
+        return jax.lax.fori_loop(0, reps, body, z)
+
+    r = pot_fwd_loop(zf)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = pot_fwd_loop(zf)
+    jax.block_until_ready(r)
+    out["pot_fwd_ms"] = (time.perf_counter() - t0) / reps * 1e3
     print(json.dumps(out), flush=True)
     return out
 
