@@ -51,6 +51,10 @@ class Config:
     # (interpret-mode tile kernel on CPU), 'never' keeps jnp.linalg.cholesky.
     use_pallas_chol: str = "auto"
     pallas_chol_min_n: int = 512
+    # Fused gram→Cholesky→density likelihood with closed-form θ-gradients
+    # (ops/fused_density.py): 'auto' on TPU for standard RBF/Matérn ExactGP
+    # likelihoods, 'always' forces it (CPU tests), 'never' disables.
+    use_fused_likelihood: str = "auto"
 
 
 _config = Config()

@@ -144,8 +144,50 @@ class ExactGP:
             if self.mean_fn_prior is not None:
                 args += [self.mean_fn_prior()]
             f_loc += self.mean_fn(*args).squeeze()
-        k = self.kernel(X, X, kernel_params, noise, **kwargs)
-        ppl.sample("y", dist.MultivariateNormal(loc=f_loc, covariance_matrix=k), obs=y)
+        if y is not None and self._fused_likelihood_ok(X, kernel_params, kwargs):
+            # fused gram→Cholesky→density op with closed-form θ-gradients:
+            # one custom-VJP boundary instead of two, backward in one fusion
+            # scope (measured ~1.7x per-leapfrog at n=8192; ops/fused_density)
+            from ..ops.fused_density import gp_mvn_log_prob
+
+            jitter = kwargs.get("jitter", 1e-6)
+            n = X.shape[0]
+            # noise + jitter (kernel-diagonal contract) + the θ-independent
+            # base regularization chol_tri_factors would otherwise add
+            noise_eff = (noise + jitter
+                         + 4.0 * n * float(jnp.finfo(jnp.float32).eps))
+            kind = "rbf" if self.kernel_name == "RBF" else "matern52"
+            lp = gp_mvn_log_prob(
+                X.astype(jnp.float32), kernel_params["k_length"],
+                kernel_params["k_scale"], noise_eff, y - f_loc, kind)
+            ppl.factor("y_log_lik", lp)
+        else:
+            k = self.kernel(X, X, kernel_params, noise, **kwargs)
+            ppl.sample("y", dist.MultivariateNormal(loc=f_loc, covariance_matrix=k),
+                       obs=y)
+
+    def _fused_likelihood_ok(self, X, kernel_params, kwargs) -> bool:
+        """Dispatch rule for the fused-likelihood op (ops/fused_density.py):
+        standard RBF/Matérn hyperparameterization on 2-D f32 data, TPU backend
+        (or forced via Config.use_fused_likelihood='always' for CPU tests)."""
+        from ..config import get_config
+        from ..parallel.distributed_chol import active_sharded_linalg
+
+        cfg = get_config()
+        if cfg.use_fused_likelihood == "never":
+            return False
+        if active_sharded_linalg() is not None:
+            return False  # model-parallel context owns the density
+        if self.kernel_name not in ("RBF", "Matern"):
+            return False
+        if set(kernel_params) - {"k_length", "k_scale", "period"} or \
+                kernel_params.get("period") is not None:
+            return False
+        if X.ndim != 2 or jnp.result_type(X, jnp.float32) != jnp.float32:
+            return False
+        if cfg.use_fused_likelihood == "always":
+            return True
+        return jax.default_backend() in ("tpu", "axon")
 
     def _sample_noise(self) -> jnp.ndarray:
         noise_dist = self.noise_prior_dist

@@ -1,0 +1,142 @@
+"""Fused GP marginal-likelihood op: gram → Cholesky → MVN density as ONE
+custom-VJP op with closed-form hyperparameter gradients.
+
+Why this op exists (measured on the real chip, LEAPFROG_PROFILE_r02.json):
+the composed path kernel() → MVN.log_prob() chains two custom-VJP ops
+(pallas_gram_ad, mvn_log_prob_centered), and the boundary between their
+backward passes forces XLA to materialize the full dK cotangent and run
+~10 unfused n²-sized passes (≈48 ms of the 97 ms MVN VJP at n=8192, plus
+~57 ms of composition overhead in the full potential).  Fusing the whole
+likelihood into one op puts the entire backward in ONE fusion scope with
+closed forms:
+
+    β  = Wᵀα,            C = ½·g·(ββᵀ − WᵀW)          (cotangent w.r.t. K)
+    w  = C ∘ k_scale ∘ map'(r²),   wₛ = w + wᵀ          (symmetry of k_XX)
+    ∂ℓ/∂k_length_a = −Σᵢ dXsᵢₐ · Xsᵢₐ / ℓₐ,  dXs = 2(rowsum(wₛ)∘Xs − wₛXs)
+    ∂ℓ/∂k_scale    = Σ C ∘ map(r²)
+    ∂ℓ/∂noise_eff  = diag(C),      ∂ℓ/∂diff = −g·β
+
+Numerics contract matches ops.linalg: θ-independent base jitter is expected
+to be INCLUDED in noise_eff by the caller (constant w.r.t. parameters), with
+`lax.cond` escalation to an adaptive big jitter when the factorization fails
+(CLAUDE.md f32 rules; see _jitter_scales).  Reference equivalent: the MVN
+log-density inside numpyro at gpax/models/gp.py:160-164.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .chol import blocked_trtri, _interpret_mode
+from .linalg import _jitter_scales
+from .pallas_gram import pallas_gram
+
+_LOG_2PI = math.log(2.0 * math.pi)
+_SQRT5 = math.sqrt(5.0)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _unbroadcast(x, shape):
+    """Reduce a gradient to the (possibly broadcast) primal shape."""
+    if jnp.shape(x) == shape:
+        return x
+    if len(shape) == 0:
+        return jnp.sum(x)
+    if shape[0] == 1 and jnp.shape(x)[0] != 1:
+        return jnp.sum(x).reshape(shape)
+    return x.reshape(shape)
+
+
+def _maps(r2, kind):
+    """(map(r²), map'(r²)) for the stationary kernel family."""
+    if kind == "rbf":
+        m = jnp.exp(-0.5 * r2)
+        return m, -0.5 * m
+    elif kind == "matern52":
+        r = jnp.sqrt(jnp.maximum(r2, 1e-10))
+        s5r = _SQRT5 * r
+        e = jnp.exp(-s5r)
+        m = (1.0 + s5r + (5.0 / 3.0) * r2) * e
+        dm = jnp.where(r2 > 1e-10, -(5.0 / 6.0) * (1.0 + s5r) * e, 0.0)
+        return m, dm
+    raise ValueError(kind)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gp_mvn_log_prob(X, k_length, k_scale, noise_eff, diff, kind="rbf"):
+    """log N(diff | 0, k_scale·map(‖(x−x')/ℓ‖²) + diag(noise_eff)) with
+    closed-form parameter gradients.  X is treated as CONSTANT data (zero
+    cotangent).  noise_eff must already contain observation noise + jitter +
+    the θ-independent base regularization (n-scaled, see linalg._jitter_scales).
+    """
+    return _fwd(X, k_length, k_scale, noise_eff, diff, kind)[0]
+
+
+def _factor(K):
+    """L, W=L⁻¹ with lax.cond jitter escalation (chol_tri_factors semantics;
+    K is expected to already carry the base regularization on its diagonal)."""
+    j_base, j_big, eye = _jitter_scales(K)
+    L1 = jnp.linalg.cholesky(K)
+    ok = jnp.all(jnp.isfinite(L1))
+    L = jax.lax.cond(ok, lambda: L1,
+                     lambda: jnp.linalg.cholesky(K + j_big * eye))
+    return L, blocked_trtri(L, _interpret_mode())
+
+
+def _fwd(X, k_length, k_scale, noise_eff, diff, kind):
+    n = X.shape[0]
+    Xs = (X / k_length).astype(jnp.float32)
+    noise_vec = jnp.broadcast_to(noise_eff, (n,)).astype(jnp.float32)
+    K = k_scale * pallas_gram(
+        Xs, Xs, noise_vec / k_scale, kind=kind, add_noise=True,
+        interpret=_interpret_mode())
+    L, W = _factor(K)
+    alpha = W @ diff
+    logdet = jnp.log(jnp.abs(jnp.diagonal(L))).sum()
+    lp = -0.5 * ((alpha * alpha).sum() + n * _LOG_2PI) - logdet
+    return lp, (Xs, W, alpha, k_length, k_scale, noise_eff, diff)
+
+
+def _bwd(kind, res, g):
+    Xs, W, alpha, k_length, k_scale, noise_eff, diff = res
+    n = Xs.shape[0]
+    # non-finite factorization (even escalated) → zero, not NaN, gradients
+    g = g * jnp.isfinite(alpha.sum()).astype(Xs.dtype)
+    W = jnp.where(jnp.isfinite(W), W, 0.0)
+    alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+
+    beta = jax.lax.dot_general(W, alpha, (((0,), (0,)), ((), ())),
+                               precision=_HI)                      # Wᵀα
+    Kinv = jax.lax.dot_general(W, W, (((0,), (0,)), ((), ())),
+                               precision=_HI)                      # WᵀW
+    cross = jax.lax.dot_general(Xs, Xs, (((1,), (1,)), ((), ())),
+                                precision=_HI)
+    x2 = jnp.sum(Xs * Xs, axis=-1)
+    r2 = jnp.maximum(x2[:, None] - 2.0 * cross + x2[None, :], 0.0)
+    m, dm = _maps(r2, kind)
+
+    # one fusion scope: C, the map chain, and the symmetrized weight matrix
+    C = (0.5 * g) * (beta[:, None] * beta[None, :] - Kinv)
+    w = C * (k_scale * dm)
+    ws = w + w.T
+
+    dXs = 2.0 * (ws.sum(axis=1, keepdims=True) * Xs
+                 - jnp.matmul(ws, Xs, precision=_HI))
+    dk_length = _unbroadcast(-jnp.sum(dXs * Xs, axis=0) / k_length.reshape(-1)
+                             if jnp.ndim(k_length)
+                             else -jnp.sum(dXs * Xs) / k_length,
+                             jnp.shape(k_length))
+    # diag(K) = k_scale·map(0) + noise_eff: k_scale's cotangent includes the
+    # diagonal map term (m=1 there); noise_eff's is diag(C) alone
+    dk_scale = _unbroadcast(jnp.sum(C * m), jnp.shape(k_scale))
+    dnoise_eff = _unbroadcast(jnp.diagonal(C), jnp.shape(noise_eff))
+    ddiff = -g * beta
+    return (jnp.zeros(Xs.shape, Xs.dtype), dk_length, dk_scale,
+            dnoise_eff, ddiff)
+
+
+gp_mvn_log_prob.defvjp(_fwd, _bwd)

@@ -186,20 +186,22 @@ def pallas_gram(Xs: jnp.ndarray, Zs: jnp.ndarray, noise_eff: jnp.ndarray,
 # with map'(r²) = −½·map(r²) for RBF and −(5/6)(1+√5 r)e^(−√5 r) for Matérn-5/2.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def pallas_gram_ad(Xs, Zs, noise_eff, kind: str = "rbf", add_noise: bool = True,
-                   interpret: bool = False, precision: str = "highest"):
+                   interpret: bool = False, precision: str = "highest",
+                   symmetric: bool = False):
     return pallas_gram(Xs, Zs, noise_eff, kind=kind, add_noise=add_noise,
                        interpret=interpret, precision=precision)
 
 
-def _pallas_gram_fwd(Xs, Zs, noise_eff, kind, add_noise, interpret, precision):
+def _pallas_gram_fwd(Xs, Zs, noise_eff, kind, add_noise, interpret, precision,
+                     symmetric):
     out = pallas_gram(Xs, Zs, noise_eff, kind=kind, add_noise=add_noise,
                       interpret=interpret, precision=precision)
     return out, (Xs, Zs)
 
 
-def _pallas_gram_bwd(kind, add_noise, interpret, precision, res, g):
+def _pallas_gram_bwd(kind, add_noise, interpret, precision, symmetric, res, g):
     Xs, Zs = res
     x2 = jnp.sum(Xs * Xs, axis=-1)
     z2 = jnp.sum(Zs * Zs, axis=-1)
@@ -220,9 +222,21 @@ def _pallas_gram_bwd(kind, add_noise, interpret, precision, res, g):
         raise ValueError(kind)
     w = g * dmap
     hi = jax.lax.Precision.HIGHEST
-    dXs = 2.0 * (w.sum(axis=1, keepdims=True) * Xs - jnp.matmul(w, Zs, precision=hi))
-    dZs = 2.0 * (w.sum(axis=0)[:, None] * Zs - jnp.matmul(w.T, Xs, precision=hi))
     n = Xs.shape[0]
+    if symmetric:
+        # X ≡ Z (the k_XX leapfrog case): autodiff sums the two cotangents of
+        # the shared operand, and the combined form
+        #   dX = 2·(rowsum(wₛ)∘Xs − wₛ Xs),  wₛ = w + wᵀ
+        # costs ONE matmul + rowsum instead of two of each
+        ws = w + w.T
+        dXs = 2.0 * (ws.sum(axis=1, keepdims=True) * Xs
+                     - jnp.matmul(ws, Xs, precision=hi))
+        dZs = jnp.zeros_like(Zs)
+    else:
+        dXs = 2.0 * (w.sum(axis=1, keepdims=True) * Xs
+                     - jnp.matmul(w, Zs, precision=hi))
+        dZs = 2.0 * (w.sum(axis=0)[:, None] * Zs
+                     - jnp.matmul(w.T, Xs, precision=hi))
     if add_noise:
         dnoise = jnp.diagonal(g)[: min(n, Zs.shape[0])]
         dnoise = jnp.pad(dnoise, (0, n - dnoise.shape[0]))
@@ -244,8 +258,11 @@ def gram(X: jnp.ndarray, Z: jnp.ndarray, k_length, k_scale, noise,
     The diagonal term is folded through the scale inside the kernel:
     scale·(map + (noise+jitter)/scale · I) ≡ scale·map + (noise+jitter)·I.
     """
+    symmetric = X is Z
     Xs = (X / k_length).astype(jnp.float32)
-    Zs = (Z / k_length).astype(jnp.float32)
+    # alias the scaled operand when X ≡ Z so the symmetric-VJP fast path sees
+    # one shared variable (autodiff then sums both cotangents onto it)
+    Zs = Xs if symmetric else (Z / k_length).astype(jnp.float32)
     add_noise = X.shape == Z.shape
     n = X.shape[0]
     if add_noise:
@@ -283,5 +300,6 @@ def gram(X: jnp.ndarray, Z: jnp.ndarray, k_length, k_scale, noise,
             idx = jnp.arange(n)
             k = k.at[idx, idx].add(noise_eff)
         return k_scale * k
-    k = pallas_gram_ad(Xs, Zs, noise_eff, kind, add_noise, interpret, precision)
+    k = pallas_gram_ad(Xs, Zs, noise_eff, kind, add_noise, interpret,
+                       precision, symmetric)
     return k_scale * k

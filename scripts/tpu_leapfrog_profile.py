@@ -136,6 +136,28 @@ def profile_n(n, reps):
     r = pot_fwd_loop(zf)
     jax.block_until_ready(r)
     out["pot_fwd_ms"] = (time.perf_counter() - t0) / reps * 1e3
+
+    # composed (pre-fusion) potential for A/B: dispatch forced off
+    gpax_tpu.set_config(use_fused_likelihood="never")
+    try:
+        info_c = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
+        pg_c = jax.value_and_grad(lambda z: info_c.potential_fn(unravel(z)))
+
+        @jax.jit
+        def pot_loop_c(z):
+            def body(i, z):
+                u, g = pg_c(z)
+                return z - 1e-6 * g
+            return jax.lax.fori_loop(0, reps, body, z)
+
+        r = pot_loop_c(zf)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = pot_loop_c(zf)
+        jax.block_until_ready(r)
+        out["potgrad_composed_ms"] = (time.perf_counter() - t0) / reps * 1e3
+    finally:
+        gpax_tpu.set_config(use_fused_likelihood="auto")
     print(json.dumps(out), flush=True)
     return out
 
