@@ -107,6 +107,33 @@ class MCMC:
                 outs.append(jax.jit(one_chain)(chain_keys[c], z0))
             zs = jnp.stack([o[0] for o in outs])
             stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
+        elif self.segment_size and self.chain_method in ("vectorized", "parallel"):
+            # lockstep-vmapped chains in bounded device segments: tree
+            # bookkeeping paid once per step instead of once per chain, and
+            # the O(n³) leapfrog work batches on the MXU (nuts.py)
+            from .nuts import run_nuts_segmented_chains
+
+            z0s = jax.vmap(chain_init)(init_keys, chain_ids)
+            shard_put = None
+            if self.chain_method == "parallel" and len(jax.devices()) > 1:
+                n_dev = min(len(jax.devices()), self.num_chains)
+                while self.num_chains % n_dev:
+                    n_dev -= 1
+                mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("chains",))
+                sharding = NamedSharding(mesh, P("chains"))
+                shard_put = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+                    lambda x: jax.device_put(x, sharding), tree)
+            zs, stats, _ = run_nuts_segmented_chains(
+                info.potential_fn, z0s, key_run,
+                num_chains=self.num_chains,
+                num_warmup=self.num_warmup, num_samples=self.num_samples,
+                segment_size=self.segment_size,
+                max_tree_depth=self.kernel.max_tree_depth,
+                target_accept_prob=self.kernel.target_accept_prob,
+                init_step_size=self.kernel.step_size,
+                progress=self.progress_bar,
+                shard_put=shard_put,
+            )
         else:
             z0s = jax.vmap(chain_init)(init_keys, chain_ids)
             run = jax.jit(jax.vmap(one_chain))

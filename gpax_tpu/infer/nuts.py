@@ -497,3 +497,117 @@ def run_nuts_segmented(
         for k in stats_parts[0]
     }
     return zs, stats, unravel
+
+
+def run_nuts_segmented_chains(
+    potential_fn: Callable,
+    init_unconstrained_batch,
+    rng_key,
+    num_chains: int,
+    num_warmup: int,
+    num_samples: int,
+    segment_size: int = 50,
+    max_tree_depth: int = 10,
+    target_accept_prob: float = 0.8,
+    init_step_size: float = 1.0,
+    progress: bool = False,
+    shard_put=None,
+):
+    """Vectorized (lockstep-vmapped) chains with bounded device segments.
+
+    Chains share the adaptation schedule and run as ONE program per segment —
+    the per-transition tree bookkeeping (the dominant overhead of small-op
+    NUTS on this runtime) is paid once per lockstep step instead of once per
+    chain, and the per-leapfrog O(n³) work batches on the MXU.  Combines the
+    fault-avoidance of :func:`run_nuts_segmented` (bounded call durations,
+    N8192_NOTE.md) with multi-chain statistical practice.
+
+    ``init_unconstrained_batch``: pytree with leading chain axis (C, ...).
+    ``shard_put``: optional callable applied to the batched carry after init
+    (e.g. placing the chain axis on a device mesh for chain_method='parallel').
+    Returns (zs (C, num_samples, dim), stats dict (C, num_samples, ...), unravel).
+    """
+    import numpy as onp
+
+    z0_one = jax.tree_util.tree_map(lambda x: x[0], init_unconstrained_batch)
+    _, unravel = ravel_pytree(z0_one)
+    z0_flat = jax.vmap(lambda t: ravel_pytree(t)[0])(init_unconstrained_batch)
+    dim = z0_flat.shape[-1]
+    dtype = z0_flat.dtype
+
+    def pot_flat(zf):
+        return potential_fn(unravel(zf))
+
+    potential_grad = jax.value_and_grad(pot_flat)
+
+    inv_mass0 = jnp.ones((dim,), dtype)
+    k_eps, k_run = jax.random.split(rng_key)
+    eps_keys = jax.random.split(k_eps, num_chains)
+    run_keys = jax.random.split(k_run, num_chains)
+    eps0 = jax.jit(jax.vmap(
+        lambda z, k: find_reasonable_step_size(
+            potential_grad, z, inv_mass0, k, init_step_size)
+    ))(z0_flat, eps_keys)
+    u0, g0 = jax.jit(jax.vmap(potential_grad))(z0_flat)
+    state0 = NUTSState(
+        z=z0_flat, potential=u0, grad=g0, step_size=eps0,
+        inv_mass=jnp.broadcast_to(inv_mass0, (num_chains, dim)),
+        rng_key=run_keys,
+        accept_prob=jnp.zeros((num_chains,), dtype),
+        num_steps=jnp.zeros((num_chains,), jnp.int32),
+        diverging=jnp.zeros((num_chains,), bool),
+        energy=u0,
+    )
+
+    def make_chain_step(eps0_c):
+        return _make_step_fn(
+            potential_grad, max_tree_depth, target_accept_prob, eps0_c,
+            num_warmup, dim, dtype,
+        )
+
+    def step_vm(carry, xs):
+        def one(carry_c, eps0_c):
+            state_c, da_c, wf_c = carry_c
+            return make_chain_step(eps0_c)((state_c, da_c, wf_c), xs)
+
+        new_carry, out = jax.vmap(one)(carry, eps0)
+        return new_carry, out
+
+    seg_scan = jax.jit(
+        lambda carry, xs: jax.lax.scan(step_vm, carry, xs, length=segment_size)
+    )
+
+    total = num_warmup + num_samples
+    pad = (-total) % segment_size
+    xs_np = [onp.asarray(x) for x in _warmup_xs(num_warmup, num_samples)]
+    xs_np = [onp.concatenate([x, onp.zeros(pad, bool)]) for x in xs_np]
+
+    da0 = jax.vmap(da_init)(eps0)
+    wf0 = jax.vmap(lambda _: welford_init(dim, dtype))(jnp.arange(num_chains))
+    carry = (state0, da0, wf0)
+    if shard_put is not None:
+        carry = shard_put(carry)
+    zs_parts, stats_parts = [], []
+    n_segments = (total + pad) // segment_size
+    for s in range(n_segments):
+        sl = slice(s * segment_size, (s + 1) * segment_size)
+        xs_seg = tuple(jnp.asarray(x[sl]) for x in xs_np)
+        carry, (zs, stats) = seg_scan(carry, xs_seg)
+        jax.block_until_ready(zs)
+        zs_parts.append(zs)
+        stats_parts.append(stats)
+        if progress:
+            done = min((s + 1) * segment_size, total)
+            print(f"  NUTS segment {s + 1}/{n_segments} ({done}/{total} steps, "
+                  f"{num_chains} chains)", flush=True)
+
+    # scan emits (steps, C, ...) — concat on steps, drop warmup, chain-major
+    zs = jnp.concatenate(zs_parts, axis=0)[num_warmup:total]
+    zs = jnp.swapaxes(zs, 0, 1)
+    stats = {
+        k: jnp.swapaxes(
+            jnp.concatenate([p[k] for p in stats_parts], axis=0)[num_warmup:total],
+            0, 1)
+        for k in stats_parts[0]
+    }
+    return zs, stats, unravel

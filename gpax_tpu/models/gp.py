@@ -35,7 +35,8 @@ from ..utils import split_in_batches
 kernel_fn_type = Callable[..., jnp.ndarray]
 
 
-def _auto_segment_size(n_points: int, total: int) -> Optional[int]:
+def _auto_segment_size(n_points: int, total: int,
+                       cost_mult: int = 1) -> Optional[int]:
     """TPU auto-segmenting: bound the sampler's per-device-call duration.
 
     The TPU runtime kills long-running device calls — observed as UNAVAILABLE
@@ -49,7 +50,7 @@ def _auto_segment_size(n_points: int, total: int) -> Optional[int]:
     if jax.default_backend() not in ("tpu", "axon"):
         return None
     s_per_leapfrog = 0.216 * (n_points / 8192.0) ** 3
-    per_transition = 64.0 * s_per_leapfrog
+    per_transition = 64.0 * s_per_leapfrog * max(cost_mult, 1)
     if per_transition * total <= 60.0:
         return None  # the whole run fits in one acceptable device call
     return max(1, min(total, int(30.0 / max(per_transition, 1e-9))))
@@ -271,11 +272,12 @@ class ExactGP:
                 )
                 fit_args = (X_fit, y_fit, noise_mask)
 
-        if segment_size is None and num_chains == 1:
+        if segment_size is None and (
+                num_chains == 1 or chain_method in ("vectorized", "parallel")):
             segment_size = _auto_segment_size(
                 fit_args[0].shape[-2] if fit_args[0].ndim > 1 else
                 fit_args[0].shape[0],
-                num_warmup + num_samples)
+                num_warmup + num_samples, cost_mult=num_chains)
 
         self.mcmc = MCMC(
             NUTS(self.model, init_strategy="median"),

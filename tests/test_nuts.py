@@ -190,3 +190,28 @@ def test_predictive_return_sites():
     out = pred(jax.random.PRNGKey(0), X)
     assert set(out) == {"y"}
     assert out["y"].shape == (7, 5)
+
+
+def test_vectorized_chains_segmented():
+    """Lockstep-vmapped chains in bounded segments (run_nuts_segmented_chains)
+    match the analytic posterior and produce per-chain outputs."""
+    import gpax_tpu
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-2, 2, (40, 1)), jnp.float32)
+    y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=40), jnp.float32)
+    gp = gpax_tpu.ExactGP(1, "RBF")
+    gp.fit(jax.random.PRNGKey(0), X, y, num_warmup=80, num_samples=80,
+           num_chains=2, chain_method="vectorized", segment_size=40,
+           print_summary=False, progress_bar=False)
+    by_chain = gp.mcmc.get_samples(group_by_chain=True)
+    assert by_chain["k_length"].shape[:2] == (2, 80)
+    flat = gp.get_samples()
+    assert np.isfinite(np.asarray(flat["k_length"])).all()
+    # both chains land in the same posterior region
+    m0 = float(np.mean(np.asarray(by_chain["noise"][0])))
+    m1 = float(np.mean(np.asarray(by_chain["noise"][1])))
+    assert abs(m0 - m1) < 0.2, (m0, m1)
