@@ -91,38 +91,45 @@ def _fwd(X, k_length, k_scale, noise_eff, diff, kind):
     n = X.shape[0]
     Xs = (X / k_length).astype(jnp.float32)
     noise_vec = jnp.broadcast_to(noise_eff, (n,)).astype(jnp.float32)
-    K = k_scale * pallas_gram(
-        Xs, Xs, noise_vec / k_scale, kind=kind, add_noise=True,
-        interpret=_interpret_mode())
+    # m = map(r²) kept as a residual: the RBF backward then needs NO gram
+    # recompute (dm = −m/2) — one multiply+diag pass here buys the backward a
+    # cross-matmul, the r² assembly, and an n²-sized exp
+    m = pallas_gram(Xs, Xs, noise_vec, kind=kind, add_noise=False,
+                    interpret=_interpret_mode())
+    idx = jnp.arange(n)
+    K = (k_scale * m).at[idx, idx].add(noise_vec)
     L, W = _factor(K)
     alpha = W @ diff
     logdet = jnp.log(jnp.abs(jnp.diagonal(L))).sum()
     lp = -0.5 * ((alpha * alpha).sum() + n * _LOG_2PI) - logdet
-    return lp, (Xs, W, alpha, k_length, k_scale, noise_eff, diff)
+    return lp, (Xs, W, alpha, m, k_length, k_scale, noise_eff, diff)
 
 
 def _bwd(kind, res, g):
-    Xs, W, alpha, k_length, k_scale, noise_eff, diff = res
+    Xs, W, alpha, m, k_length, k_scale, noise_eff, diff = res
     n = Xs.shape[0]
-    # non-finite factorization (even escalated) → zero, not NaN, gradients
-    g = g * jnp.isfinite(alpha.sum()).astype(Xs.dtype)
-    W = jnp.where(jnp.isfinite(W), W, 0.0)
-    alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+    # non-finite factorization (even escalated) → zero, not NaN, gradients;
+    # the guard is applied to the SMALL outputs at the end (big intermediates
+    # may carry NaNs, the output masks stop them), so no n²-sized masks here
+    ok = jnp.isfinite(alpha.sum()).astype(Xs.dtype)
 
     beta = jax.lax.dot_general(W, alpha, (((0,), (0,)), ((), ())),
                                precision=_HI)                      # Wᵀα
     Kinv = jax.lax.dot_general(W, W, (((0,), (0,)), ((), ())),
                                precision=_HI)                      # WᵀW
-    cross = jax.lax.dot_general(Xs, Xs, (((1,), (1,)), ((), ())),
-                                precision=_HI)
-    x2 = jnp.sum(Xs * Xs, axis=-1)
-    r2 = jnp.maximum(x2[:, None] - 2.0 * cross + x2[None, :], 0.0)
-    m, dm = _maps(r2, kind)
+    if kind == "rbf":
+        dm = -0.5 * m
+    else:
+        cross = jax.lax.dot_general(Xs, Xs, (((1,), (1,)), ((), ())),
+                                    precision=_HI)
+        x2 = jnp.sum(Xs * Xs, axis=-1)
+        r2 = jnp.maximum(x2[:, None] - 2.0 * cross + x2[None, :], 0.0)
+        _, dm = _maps(r2, kind)
 
-    # one fusion scope: C, the map chain, and the symmetrized weight matrix
+    # one fusion scope: C and the map chain; C is symmetric (bb and Kinv are)
+    # and dm is symmetric, so the symmetrized weight is just 2w — no transpose
     C = (0.5 * g) * (beta[:, None] * beta[None, :] - Kinv)
-    w = C * (k_scale * dm)
-    ws = w + w.T
+    ws = C * ((2.0 * k_scale) * dm)
 
     dXs = 2.0 * (ws.sum(axis=1, keepdims=True) * Xs
                  - jnp.matmul(ws, Xs, precision=_HI))
@@ -135,6 +142,12 @@ def _bwd(kind, res, g):
     dk_scale = _unbroadcast(jnp.sum(C * m), jnp.shape(k_scale))
     dnoise_eff = _unbroadcast(jnp.diagonal(C), jnp.shape(noise_eff))
     ddiff = -g * beta
+    # NaN-safety on the small outputs only (see `ok` above)
+    z = jnp.zeros((), Xs.dtype)
+    dk_length = jnp.where(jnp.isfinite(dk_length), ok * dk_length, z)
+    dk_scale = jnp.where(jnp.isfinite(dk_scale), ok * dk_scale, z)
+    dnoise_eff = jnp.where(jnp.isfinite(dnoise_eff), ok * dnoise_eff, z)
+    ddiff = jnp.where(jnp.isfinite(ddiff), ok * ddiff, z)
     return (jnp.zeros(Xs.shape, Xs.dtype), dk_length, dk_scale,
             dnoise_eff, ddiff)
 

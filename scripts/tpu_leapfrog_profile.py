@@ -98,6 +98,21 @@ def profile_n(n, reps):
 
     out["gram_vjp_ms"] = loop_time(gram_vjp, X, reps) * 1e3
 
+    # the fused-density op alone (fwd+closed-form bwd), outside the PPL layer
+    from gpax_tpu.ops.fused_density import gp_mvn_log_prob
+
+    diff2 = jnp.asarray(rng.normal(size=n), jnp.float32)
+    jb = 4.0 * n * float(jnp.finfo(jnp.float32).eps)
+
+    def fused_vjp(X):
+        v, gr = jax.value_and_grad(
+            lambda kl: gp_mvn_log_prob(X, kl, jnp.float32(1.2),
+                                       jnp.float32(0.1 + jb), diff2, "rbf"))(
+            jnp.ones(X.shape[1], jnp.float32))
+        return v + gr[0]
+
+    out["fused_vjp_ms"] = loop_time(fused_vjp, X, reps) * 1e3
+
     import gpax_tpu
     from gpax_tpu.ppl import initialize_model
 
