@@ -103,15 +103,28 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
     cpu_s_per_leapfrog = CPU_SECONDS_PER_LEAPFROG_N2048 * (n / 2048) ** 3
     # fwd gram+factor+inverse ~ n^3, backward matmul pullback ~ 2n^3 (f32)
     flops = leapfrogs * 3.0 * n**3
-    emit(
-        f"exactgp_rbf1d_n{n}_nuts{num_warmup}+{num_samples}_fit_wallclock",
-        fit_s, "s", cpu_s_per_leapfrog * leapfrogs / fit_s,
+    extra = dict(
         leapfrogs=leapfrogs,
         leapfrogs_per_s=leapfrogs / fit_s,
         est_tflops_per_s=flops / fit_s / 1e12,
         est_mxu_util_pct=100.0 * 3.0 * flops / fit_s / V5E_BF16_PEAK,
         accept_rate=float(np.asarray(stats["accept_prob"]).mean()),
         timing=compiled_note,
+    )
+    seg_wall = np.asarray(stats.get("segment_wall_s", []))
+    if seg_wall.size > 2:
+        # segment 1 carries the (tunnel-dependent, multi-minute) compile;
+        # warm throughput from the remaining segments is the honest
+        # steady-state number the compile cache gives every later fit
+        compile_s = float(seg_wall[0] - np.median(seg_wall[1:]))
+        warm_s = max(fit_s - compile_s, 1e-9)
+        extra["est_compile_s"] = compile_s
+        extra["warm_fit_s"] = warm_s
+        extra["leapfrogs_per_s_warm"] = leapfrogs / warm_s
+    emit(
+        f"exactgp_rbf1d_n{n}_nuts{num_warmup}+{num_samples}_fit_wallclock",
+        fit_s, "s", cpu_s_per_leapfrog * leapfrogs / fit_s,
+        **extra,
     )
 
 

@@ -477,13 +477,16 @@ def run_nuts_segmented(
     xs_np = [onp.concatenate([x, onp.zeros(pad, bool)]) for x in xs_np]
 
     carry = (state0, da_init(eps0), welford_init(dim, dtype))
-    zs_parts, stats_parts = [], []
+    zs_parts, stats_parts, seg_wall = [], [], []
     n_segments = (total + pad) // segment_size
+    import time as _time
     for s in range(n_segments):
         sl = slice(s * segment_size, (s + 1) * segment_size)
         xs_seg = tuple(jnp.asarray(x[sl]) for x in xs_np)
+        t0 = _time.perf_counter()
         carry, (zs, stats) = seg_scan(carry, xs_seg)
         jax.block_until_ready(zs)
+        seg_wall.append(_time.perf_counter() - t0)
         zs_parts.append(zs)
         stats_parts.append(stats)
         if progress:
@@ -496,6 +499,9 @@ def run_nuts_segmented(
         k: jnp.concatenate([p[k] for p in stats_parts], axis=0)[num_warmup:total]
         for k in stats_parts[0]
     }
+    # per-segment wall-clock (segment 1 includes compile) — lets callers
+    # separate compile from sampling throughput
+    stats["segment_wall_s"] = jnp.asarray(seg_wall)
     return zs, stats, unravel
 
 
