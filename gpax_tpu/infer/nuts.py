@@ -61,24 +61,6 @@ class NUTSState(NamedTuple):
     energy: jnp.ndarray
 
 
-class _TreeState(NamedTuple):
-    z_left: jnp.ndarray
-    r_left: jnp.ndarray
-    grad_left: jnp.ndarray
-    z_right: jnp.ndarray
-    r_right: jnp.ndarray
-    grad_right: jnp.ndarray
-    z_prop: jnp.ndarray
-    u_prop: jnp.ndarray
-    grad_prop: jnp.ndarray
-    log_weight: jnp.ndarray
-    r_sum: jnp.ndarray
-    turning: jnp.ndarray
-    diverging: jnp.ndarray
-    sum_accept: jnp.ndarray
-    num_leaves: jnp.ndarray
-
-
 def _is_turning(inv_mass, r_left, r_right, r_sum):
     """Generalized U-turn criterion (Betancourt 2017, App. A.4.2)."""
     v_left = inv_mass * r_left
@@ -94,201 +76,170 @@ def _trailing_ones(n):
 def _build_subtree(potential_grad, depth, z0, r0, grad0, u0, eps_signed, inv_mass,
                    h0, key, max_depth):
     """Build a balanced subtree of 2**depth leaves starting one leapfrog step
-    beyond (z0, r0).  Iterative with early exit on turning/divergence."""
+    beyond (z0, r0).  Iterative with early exit on turning/divergence.
+
+    OP-DIET (this runtime executes each XLA op at a multi-ms floor, so the
+    per-leapfrog bookkeeping — not the O(n³) math — dominated the sampler;
+    measured ~170-230 ms/leapfrog of overhead vs 23-154 ms of potential+grad):
+    the (dim,)-sized carry vectors are packed into ONE (6, dim) matrix updated
+    by a single masked ``where``, the two checkpoint stacks are one
+    (max_depth+1, 2·dim) array with one dynamic-update-slice, the f32 scalars
+    ride one (4,) vector, and the per-odd-leaf U-turn while_loop is replaced
+    by a vectorized check over all checkpoint slots.  Returns a dict with the
+    same keys the doubling loop consumes.
+    """
     dim = z0.shape[0]
+    dtype = z0.dtype
     num_leaves = jnp.asarray(2, jnp.int32) ** depth
+    # V rows: 0 z, 1 r, 2 grad, 3 z_prop, 4 grad_prop, 5 r_sum
+    always_rows = jnp.asarray([1, 1, 1, 0, 0, 1], bool)[:, None]
+    slots = jnp.arange(max_depth + 1)
 
     def cond(carry):
-        n = carry["n"]
-        return (n < num_leaves) & ~carry["turning"] & ~carry["diverging"]
+        V, S, n, turning, diverging, k, CK = carry
+        return (n < num_leaves) & ~turning & ~diverging
 
     def body(carry):
-        n = carry["n"]
-        key, k_prop = jax.random.split(carry["key"])
-        z, r, u, grad = leapfrog(
-            potential_grad, carry["z"], carry["r"], eps_signed, inv_mass, carry["grad"]
+        V, S, n, turning, diverging, k, CK = carry
+        k, k_prop = jax.random.split(k)
+        z1, r1, u1, g1 = leapfrog(
+            potential_grad, V[0], V[1], eps_signed, inv_mass, V[2]
         )
-        energy = u + kinetic_energy(r, inv_mass)
+        energy = u1 + kinetic_energy(r1, inv_mass)
         energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
         delta = energy - h0
-        diverging = delta > MAX_DELTA_ENERGY
+        div1 = delta > MAX_DELTA_ENERGY
         log_w_leaf = -delta
         # progressive multinomial sampling within the subtree
-        log_w_new = jnp.logaddexp(carry["log_weight"], log_w_leaf)
+        log_w_new = jnp.logaddexp(S[2], log_w_leaf)
         take_new = jnp.log(jax.random.uniform(k_prop)) < (log_w_leaf - log_w_new)
-        z_prop = jnp.where(take_new, z, carry["z_prop"])
-        u_prop = jnp.where(take_new, u, carry["u_prop"])
-        grad_prop = jnp.where(take_new, grad, carry["grad_prop"])
         accept = jnp.exp(jnp.minimum(0.0, -delta))
+        r_sum_old = V[5]
+        r_sum_new = r_sum_old + r1
 
-        # checkpoint store (even leaf): slot = popcount(n >> 1)
+        V_cand = jnp.stack([z1, r1, g1, z1, g1, r_sum_new])
+        V = jnp.where(always_rows | take_new, V_cand, V)
+        S = jnp.stack([u1, jnp.where(take_new, u1, S[1]), log_w_new,
+                       S[3] + accept])
+
+        # checkpoint store (even leaf): slot = popcount(n >> 1); row = [r | Σr]
         slot = jax.lax.population_count(n >> 1)
         is_even = (n % 2) == 0
-        r_ckpts = jnp.where(
-            is_even,
-            carry["r_ckpts"].at[slot].set(r),
-            carry["r_ckpts"],
-        )
-        s_ckpts = jnp.where(
-            is_even,
-            carry["s_ckpts"].at[slot].set(carry["r_sum"]),
-            carry["s_ckpts"],
-        )
-        r_sum = carry["r_sum"] + r
+        ck_row = jnp.concatenate([r1, r_sum_old])[None]
+        CK = jnp.where(is_even,
+                       jax.lax.dynamic_update_slice(
+                           CK, ck_row, (slot, jnp.asarray(0, slot.dtype))), CK)
 
-        # U-turn checks for every balanced subtree closed by odd leaf n
-        def check_turning(_):
-            idx_max = jax.lax.population_count(n >> 1)
-            t = _trailing_ones(n)
-            idx_min = idx_max - t + 1
+        # vectorized U-turn: odd leaf n closes t balanced subtrees at slots
+        # [idx_max - t + 1, idx_max] — check ALL slots at once, mask the range
+        t = _trailing_ones(n)
+        in_range = (slots >= slot - t + 1) & (slots <= slot) & ~is_even
+        r_a = CK[:, :dim]
+        rho = (r_sum_new - CK[:, dim:]) - 0.5 * (r_a + r1)
+        turn_all = (jnp.sum(inv_mass * r_a * rho, -1) <= 0) | (
+            jnp.sum((inv_mass * r1) * rho, -1) <= 0)
+        turning = turning | jnp.any(turn_all & in_range)
 
-            def c(state):
-                i, turning = state
-                return (i >= idx_min) & ~turning
+        return V, S, n + 1, turning, div1, k, CK
 
-            def b(state):
-                i, _ = state
-                r_a = r_ckpts[i]
-                s_before_a = s_ckpts[i]
-                sub_sum = r_sum - s_before_a
-                return i - 1, _is_turning(inv_mass, r_a, r, sub_sum)
-
-            _, turning = jax.lax.while_loop(c, b, (idx_max, jnp.asarray(False)))
-            return turning
-
-        turning = jax.lax.cond(
-            (n % 2) == 1, check_turning, lambda _: jnp.asarray(False), operand=None
-        )
-
-        return {
-            "n": n + 1,
-            "z": z, "r": r, "grad": grad, "u": u,
-            "z_prop": z_prop, "u_prop": u_prop, "grad_prop": grad_prop,
-            "log_weight": log_w_new,
-            "r_sum": r_sum,
-            "r_first": jnp.where(n == 0, r, carry["r_first"]),
-            "z_first": jnp.where(n == 0, z, carry["z_first"]),
-            "grad_first": jnp.where(n == 0, grad, carry["grad_first"]),
-            "sum_accept": carry["sum_accept"] + accept,
-            "turning": turning,
-            "diverging": diverging,
-            "key": key,
-            "r_ckpts": r_ckpts,
-            "s_ckpts": s_ckpts,
-        }
-
-    init = {
-        "n": jnp.asarray(0, jnp.int32),
-        "z": z0, "r": r0, "grad": grad0, "u": u0,
-        "z_prop": z0, "u_prop": u0, "grad_prop": grad0,
-        "log_weight": jnp.asarray(-jnp.inf, z0.dtype),
-        "r_sum": jnp.zeros_like(r0),
-        "r_first": r0, "z_first": z0, "grad_first": grad0,
-        "sum_accept": jnp.zeros((), z0.dtype),
-        "turning": jnp.asarray(False),
-        "diverging": jnp.asarray(False),
-        "key": key,
-        "r_ckpts": jnp.zeros((max_depth + 1, dim), z0.dtype),
-        "s_ckpts": jnp.zeros((max_depth + 1, dim), z0.dtype),
+    V0 = jnp.stack([z0, r0, grad0, z0, grad0, jnp.zeros_like(r0)])
+    S0 = jnp.asarray([u0, u0, -jnp.inf, 0.0], dtype)
+    init = (V0, S0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            jnp.asarray(False), key, jnp.zeros((max_depth + 1, 2 * dim), dtype))
+    V, S, n, turning, diverging, k, CK = jax.lax.while_loop(cond, body, init)
+    return {
+        "n": n, "z": V[0], "r": V[1], "grad": V[2],
+        "z_prop": V[3], "grad_prop": V[4], "r_sum": V[5],
+        "u_prop": S[1], "log_weight": S[2], "sum_accept": S[3],
+        "turning": turning, "diverging": diverging,
     }
-    out = jax.lax.while_loop(cond, body, init)
-    return out
 
 
 def nuts_step(potential_grad: Callable, state: NUTSState, max_depth: int = 10) -> NUTSState:
-    """One NUTS transition."""
+    """One NUTS transition.
+
+    The doubling loop carries ONE packed (9, dim) matrix — rows 0-2 left edge
+    (z, r, grad), 3-5 right edge, 6-7 proposal (z, grad), 8 momentum sum —
+    plus a (3,) scalar vector (u_prop, log_weight, sum_accept).  Same op-diet
+    rationale as _build_subtree: a handful of masked wheres per doubling
+    instead of ~20 per-field ops.
+    """
+    dtype = state.z.dtype
     key, k_mom, k_loop = jax.random.split(state.rng_key, 3)
     r0 = sample_momentum(k_mom, state.inv_mass)
     h0 = state.potential + kinetic_energy(r0, state.inv_mass)
 
-    tree0 = _TreeState(
-        z_left=state.z, r_left=r0, grad_left=state.grad,
-        z_right=state.z, r_right=r0, grad_right=state.grad,
-        z_prop=state.z, u_prop=state.potential, grad_prop=state.grad,
-        log_weight=jnp.zeros((), state.z.dtype),
-        r_sum=r0,
-        turning=jnp.asarray(False),
-        diverging=jnp.asarray(False),
-        sum_accept=jnp.zeros((), state.z.dtype),
-        num_leaves=jnp.zeros((), jnp.int32),
-    )
+    T0 = jnp.stack([state.z, r0, state.grad, state.z, r0, state.grad,
+                    state.z, state.grad, r0])
+    Sc0 = jnp.asarray([state.potential, 0.0, 0.0], dtype)
+    # validity-gated rows (proposal rows 6-7 are gated by take_new instead)
+    gated_rows = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0, 1], bool)[:, None]
 
     def cond(carry):
-        depth, tree, key = carry
-        return (depth < max_depth) & ~tree.turning & ~tree.diverging
+        depth, T, Sc, num_leaves, turning, diverging, k = carry
+        return (depth < max_depth) & ~turning & ~diverging
 
     def body(carry):
-        depth, tree, key = carry
-        key, k_dir, k_sub, k_merge = jax.random.split(key, 4)
+        depth, T, Sc, num_leaves, turning, diverging, k = carry
+        k, k_dir, k_sub, k_merge = jax.random.split(k, 4)
         go_right = jax.random.bernoulli(k_dir)
         eps_signed = jnp.where(go_right, state.step_size, -state.step_size)
-        z0 = jnp.where(go_right, tree.z_right, tree.z_left)
-        r0_edge = jnp.where(go_right, tree.r_right, tree.r_left)
-        grad0 = jnp.where(go_right, tree.grad_right, tree.grad_left)
-        u0 = jnp.zeros((), state.z.dtype)  # unused by _build_subtree proposals' init
+        edge = jnp.where(go_right, T[3:6], T[0:3])
+        u0 = jnp.zeros((), dtype)  # unused by _build_subtree proposals' init
 
         sub = _build_subtree(
-            potential_grad, depth, z0, r0_edge, grad0, u0, eps_signed,
+            potential_grad, depth, edge[0], edge[1], edge[2], u0, eps_signed,
             state.inv_mass, h0, k_sub, max_depth,
         )
         sub_valid = ~sub["turning"] & ~sub["diverging"]
 
         # biased progressive sampling across doublings
         take_new = jnp.log(jax.random.uniform(k_merge)) < (
-            sub["log_weight"] - tree.log_weight
+            sub["log_weight"] - Sc[1]
         )
         take_new = take_new & sub_valid
-        z_prop = jnp.where(take_new, sub["z_prop"], tree.z_prop)
-        u_prop = jnp.where(take_new, sub["u_prop"], tree.u_prop)
-        grad_prop = jnp.where(take_new, sub["grad_prop"], tree.grad_prop)
 
-        # merge edges / momentum sum only if the subtree is valid
-        def merged_edges():
-            z_left = jnp.where(go_right, tree.z_left, sub["z"])
-            r_left = jnp.where(go_right, tree.r_left, sub["r"])
-            grad_left = jnp.where(go_right, tree.grad_left, sub["grad"])
-            z_right = jnp.where(go_right, sub["z"], tree.z_right)
-            r_right = jnp.where(go_right, sub["r"], tree.r_right)
-            grad_right = jnp.where(go_right, sub["grad"], tree.grad_right)
-            return z_left, r_left, grad_left, z_right, r_right, grad_right
+        subedge = jnp.stack([sub["z"], sub["r"], sub["grad"]])
+        left_new = jnp.where(go_right, T[0:3], subedge)
+        right_new = jnp.where(go_right, subedge, T[3:6])
+        r_sum_new = T[8] + sub["r_sum"]
+        prop_new = jnp.where(
+            take_new, jnp.stack([sub["z_prop"], sub["grad_prop"]]), T[6:8])
+        T_cand = jnp.concatenate(
+            [left_new, right_new, prop_new, r_sum_new[None]])
+        T_new = jnp.where(gated_rows & ~sub_valid, T, T_cand)
 
-        z_left, r_left, grad_left, z_right, r_right, grad_right = merged_edges()
-        r_sum = tree.r_sum + sub["r_sum"]
-        turning_combined = _is_turning(state.inv_mass, r_left, r_right, r_sum)
+        # U-turn across the merged tree (pre-gating edges, as before)
+        turning_combined = _is_turning(
+            state.inv_mass, left_new[1], right_new[1], r_sum_new)
 
-        new_tree = _TreeState(
-            z_left=jnp.where(sub_valid, z_left, tree.z_left),
-            r_left=jnp.where(sub_valid, r_left, tree.r_left),
-            grad_left=jnp.where(sub_valid, grad_left, tree.grad_left),
-            z_right=jnp.where(sub_valid, z_right, tree.z_right),
-            r_right=jnp.where(sub_valid, r_right, tree.r_right),
-            grad_right=jnp.where(sub_valid, grad_right, tree.grad_right),
-            z_prop=z_prop, u_prop=u_prop, grad_prop=grad_prop,
-            log_weight=jnp.where(
-                sub_valid, jnp.logaddexp(tree.log_weight, sub["log_weight"]), tree.log_weight
-            ),
-            r_sum=jnp.where(sub_valid, r_sum, tree.r_sum),
-            turning=sub["turning"] | (sub_valid & turning_combined),
-            diverging=sub["diverging"],
-            sum_accept=tree.sum_accept + sub["sum_accept"],
-            num_leaves=tree.num_leaves + sub["n"],
-        )
-        return depth + 1, new_tree, key
+        Sc_new = jnp.stack([
+            jnp.where(take_new, sub["u_prop"], Sc[0]),
+            jnp.where(sub_valid,
+                      jnp.logaddexp(Sc[1], sub["log_weight"]), Sc[1]),
+            Sc[2] + sub["sum_accept"],
+        ])
+        return (depth + 1, T_new, Sc_new, num_leaves + sub["n"],
+                sub["turning"] | (sub_valid & turning_combined),
+                sub["diverging"], k)
 
-    _, tree, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), tree0, k_loop))
+    init = (jnp.asarray(0, jnp.int32), T0, Sc0, jnp.zeros((), jnp.int32),
+            jnp.asarray(False), jnp.asarray(False), k_loop)
+    _, T, Sc, num_leaves, turning, diverging, _ = jax.lax.while_loop(
+        cond, body, init)
 
-    accept_prob = tree.sum_accept / jnp.maximum(tree.num_leaves.astype(state.z.dtype), 1.0)
+    accept_prob = Sc[2] / jnp.maximum(num_leaves.astype(dtype), 1.0)
     return NUTSState(
-        z=tree.z_prop,
-        potential=tree.u_prop,
-        grad=tree.grad_prop,
+        z=T[6],
+        potential=Sc[0],
+        grad=T[7],
         step_size=state.step_size,
         inv_mass=state.inv_mass,
         rng_key=key,
         accept_prob=accept_prob,
-        num_steps=tree.num_leaves,
-        diverging=tree.diverging,
-        energy=tree.u_prop,
+        num_steps=num_leaves,
+        diverging=diverging,
+        energy=Sc[0],
     )
 
 
