@@ -4,8 +4,8 @@ The standalone potgrad ablation says fused is faster (153 vs 186 ms at
 n=8192), but the instrumented bench suggested fused-in-NUTS is slower per
 leapfrog at n=4096.  This probe measures exactly that, one mode per process:
 
-    python scripts/tpu_fused_ab.py never   # composed path
-    python scripts/tpu_fused_ab.py auto    # fused path
+    python scripts/tpu_fused_ab.py never [n]   # composed path
+    python scripts/tpu_fused_ab.py auto  [n]   # fused path
 
 Reports warm ms/leapfrog from segments 2+ (segment 1 carries compile).
 """
@@ -22,7 +22,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpax_tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-N = 4096
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
 
 
 def main():
