@@ -170,6 +170,13 @@ def bench_vigp_sparse_image():
                                          batch_size=1024)
     jax.block_until_ready(mean)
     pred_s = time.time() - t0
+    # second sweep reuses the instance-cached compiled program — the
+    # steady-state cost every later AL iteration pays
+    t0 = time.time()
+    mean, var = model.predict_in_batches(key_pred, jnp.asarray(full_grid),
+                                         batch_size=1024)
+    jax.block_until_ready(mean)
+    pred_warm_s = time.time() - t0
     rmse = float(np.sqrt(np.mean((np.asarray(mean).reshape(truth.shape) - truth) ** 2)))
     emit(
         f"vigp_matern2d_sparseimg{size}x{size}_svi2000_fit_wallclock",
@@ -177,6 +184,7 @@ def bench_vigp_sparse_image():
         n_train=int(values.shape[0]),
         svi_steps_per_s=2000.0 / fit_s,
         predict_points_per_s=full_grid.shape[0] / pred_s,
+        predict_points_per_s_warm=full_grid.shape[0] / pred_warm_s,
         reconstruction_rmse=rmse,
     )
 
@@ -201,6 +209,10 @@ def bench_visparsegp():
     mean, var = model.predict_in_batches(key_pred, grid, batch_size=1024)
     jax.block_until_ready(mean)
     pred_s = time.time() - t0
+    t0 = time.time()
+    mean, var = model.predict_in_batches(key_pred, grid, batch_size=1024)
+    jax.block_until_ready(mean)
+    pred_warm_s = time.time() - t0
     truth = np.sin(3 * np.asarray(grid)) * np.exp(-0.3 * np.asarray(grid))
     rmse = float(np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)))
     emit(
@@ -208,6 +220,7 @@ def bench_visparsegp():
         fit_s, "s", None,
         svi_steps_per_s=3000.0 / fit_s,
         predict_points_per_s=float(grid.shape[0]) / pred_s,
+        predict_points_per_s_warm=float(grid.shape[0]) / pred_warm_s,
         reconstruction_rmse=rmse,
     )
 
@@ -277,6 +290,10 @@ def bench_vidkl_al():
     mean, var = dkl.predict(key_pred, jnp.asarray(X_pool, jnp.float32))
     jax.block_until_ready(mean)
     pred_s = time.time() - t0
+    t0 = time.time()
+    mean, var = dkl.predict(key_pred, jnp.asarray(X_pool, jnp.float32))
+    jax.block_until_ready(mean)
+    pred_warm_s = time.time() - t0
     rmse = float(np.sqrt(np.mean((np.asarray(mean) - y_pool) ** 2)))
     emit(
         "vidkl_al_n64of400_d64_svi1000_step_wallclock",
@@ -284,6 +301,7 @@ def bench_vidkl_al():
         fit_s=fit_s,
         svi_steps_per_s=1000.0 / fit_s,
         predict_points_per_s=float(n_pool) / pred_s,
+        predict_points_per_s_warm=float(n_pool) / pred_warm_s,
         pool_rmse=rmse,
     )
 
