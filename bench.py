@@ -116,7 +116,7 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
         # segment 1 carries the (tunnel-dependent, multi-minute) compile;
         # warm throughput from the remaining segments is the honest
         # steady-state number the compile cache gives every later fit
-        compile_s = float(seg_wall[0] - np.median(seg_wall[1:]))
+        compile_s = max(float(seg_wall[0] - np.median(seg_wall[1:])), 0.0)
         warm_s = max(fit_s - compile_s, 1e-9)
         extra["est_compile_s"] = compile_s
         extra["warm_fit_s"] = warm_s
