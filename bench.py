@@ -258,11 +258,16 @@ def bench_mtgp_bo():
     acq = EI(key_pred, mtgp, X_test, maximize=True, noiseless=True)
     jax.block_until_ready(acq)
     acq_s = time.time() - t0
+    t0 = time.time()
+    acq = EI(key_pred, mtgp, X_test, maximize=True, noiseless=True)
+    jax.block_until_ready(acq)
+    acq_warm_s = time.time() - t0
     emit(
         f"mtgp_bo_n{n_lo}+{n_hi}_nuts1000+1000_fit_wallclock",
         fit_s, "s", None,
         acq_eval_s=acq_s,
         acq_points_per_s=float(grid.shape[0]) / acq_s,
+        acq_points_per_s_warm=float(grid.shape[0]) / acq_warm_s,
         next_x=float(grid[int(np.asarray(acq).argmax())]),
     )
 
