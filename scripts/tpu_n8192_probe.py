@@ -43,20 +43,28 @@ def make_problem():
     return initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
 
 
-def variant_short():
+def variant_short(max_depth=6, segment_size=5):
     from gpax_tpu.infer.nuts import run_nuts_segmented
 
     info = make_problem()
     t0 = time.time()
     zs, stats, _ = run_nuts_segmented(
         info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(1),
-        num_warmup=10, num_samples=10, max_tree_depth=6, segment_size=5,
-        progress=True,
+        num_warmup=10, num_samples=10, max_tree_depth=max_depth,
+        segment_size=segment_size, progress=True,
     )
     jax.block_until_ready(stats["accept_prob"])
     return {"fit_s": time.time() - t0,
             "leapfrogs": float(np.asarray(stats["num_steps"]).sum()),
-            "accept": float(np.asarray(stats["accept_prob"]).mean())}
+            "accept": float(np.asarray(stats["accept_prob"]).mean()),
+            "segment_wall_s": [round(float(s), 2)
+                               for s in np.asarray(stats["segment_wall_s"])]}
+
+
+def variant_depth7():
+    """Candidate next-round headline config: deeper trees (better adaptation,
+    higher accept) with segment 2 keeping worst-case call duration bounded."""
+    return variant_short(max_depth=7, segment_size=2)
 
 
 def variant_legacy():
@@ -89,7 +97,7 @@ def variant_potgrad():
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "short"
     fn = {"short": variant_short, "potgrad": variant_potgrad,
-          "legacy": variant_legacy}[variant]
+          "legacy": variant_legacy, "depth7": variant_depth7}[variant]
     try:
         out = fn()
         out.update(variant=variant, n=N, ok=True)
