@@ -1,24 +1,31 @@
-"""Benchmarks for the five BASELINE.md configs on one TPU chip.
+"""Benchmarks for the BASELINE.md configs on one TPU chip.
 
 Prints one JSON line per config ({"metric", "value", "unit", "vs_baseline",
-"extra"}), the HEADLINE config (ExactGP NUTS fit at the largest validated n)
-LAST so single-line consumers pick it up.
+"extra"}).  Config ORDER is by priority, not size: the two ExactGP NUTS
+configs (n=4096 headline, n=8192 north star) run FIRST so they are guaranteed
+to land inside the driver's window (round 2 ran them last and the driver
+timed out before either printed — BENCH_r02.json rc=124).  The remaining
+configs run best-effort against a wall-clock budget, and the north-star line
+is RE-EMITTED at the very end so single-line consumers parse it.
 
 vs_baseline: speedup over the reference-equivalent CPU cost.  numpyro is not
 installed on this host, so the baseline is the measured per-leapfrog
 potential+grad wall-clock of THIS framework on the driver host CPU
 (0.750 s at n=2048, single core, measured 2026-08-16), scaled by n³ for other
 sizes; the reference (gpax+numpyro, CPU) pays at least that per leapfrog plus
-Python-driver overhead, so reported speedups are conservative.  SVI/AL configs
-use the same potential-cost scaling for their per-step baselines where noted;
-configs without a measured CPU anchor report vs_baseline = null.
+Python-driver overhead, so reported speedups are conservative.  Configs
+without a measured CPU anchor report vs_baseline = null.
 
-Absolute throughput is always reported in "extra": leapfrogs/s or steps/s,
-predict points/s, and for the headline an estimated FLOP/s and MXU utilization
-(f32 flops x 3 bf16 passes at HIGHEST precision, v5e peak 197 TFLOP/s).
+Leapfrog counts come from the segmented runner's ``segment_leapfrogs``
+telemetry (ALL transitions, warmup included — the sliced per-draw stats drop
+warmup, whose trees dominate early segments).  ``est_mxu_util_pct`` is
+useful-FLOP MFU, consistent with ``est_tflops_per_s`` (3·n³ useful FLOPs per
+leapfrog: forward gram+factor+inverse ≈ n³, backward matmul pullback ≈ 2n³),
+against the v5e bf16 peak.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -33,34 +40,54 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 CPU_SECONDS_PER_LEAPFROG_N2048 = 0.750  # measured on this host (module docstring)
 V5E_BF16_PEAK = 197e12
 
+# total wall-clock budget for the whole suite; the driver's window was ~1 h in
+# round 2 (rc=124 at ~45-50 min) — default leaves headroom for teardown
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3200))
+
 HEADLINE_N = 4096
 NUM_WARMUP = 100
 NUM_SAMPLES = 100
-# max_depth 6 (63 leapfrogs/transition cap): ample for the ~4-dim GP
-# hyperparameter posterior (accept rates confirm), and it bounds per-segment
-# device-call duration — the empirical fault trigger on this runtime is
-# long-running device calls at large n, not program size (N8192_NOTE.md)
-MAX_DEPTH = 6
+# max_depth 7: the depth-6 cap of round 2 truncated trajectories at n=8192
+# (accept 0.63); the depth-7 probe reached accept 0.86 with no fault
+# (N8192_NOTE.md).  Per-segment device-call duration stays bounded via the
+# segment sizes below (the empirical fault trigger on this runtime is
+# long-running device calls, not program size).
+MAX_DEPTH = 7
+
+
+LINES_FILE = "/tmp/gpax_tpu_bench_lines.jsonl"
 
 
 def emit(metric, value, unit, vs_baseline, **extra):
-    print(json.dumps({
+    line = {
         "metric": metric, "value": round(value, 3), "unit": unit,
         "vs_baseline": None if vs_baseline is None else round(vs_baseline, 1),
         "extra": {k: (round(v, 3) if isinstance(v, float) else v)
                   for k, v in extra.items()},
-    }), flush=True)
+    }
+    print(json.dumps(line), flush=True)
+    # side channel for the parent's final north-star re-emit: children stream
+    # stdout directly (so lines survive even if the driver kills the parent
+    # mid-config) and append here for bookkeeping
+    try:
+        with open(LINES_FILE, "a") as fh:
+            fh.write(json.dumps(line) + "\n")
+    except OSError:
+        pass
+    return line
 
 
 def bench_exactgp(n, segment_size=None, warm_time=True,
-                  num_warmup=NUM_WARMUP, num_samples=NUM_SAMPLES):
+                  num_warmup=NUM_WARMUP, num_samples=NUM_SAMPLES,
+                  max_depth=MAX_DEPTH):
     """ExactGP RBF 1D NUTS fit at size n (BASELINE config 1; north star n=8k).
 
     segment_size: run the sampler in bounded device programs (the empirical
     fault trigger on this runtime is long-running device calls at large n —
     N8192_NOTE.md; segments bound each call's duration).
     warm_time: time a second run after a warmup run (excludes compile); for
-    very large n a single timed run including compile is reported instead.
+    very large n a single timed run including compile is reported instead
+    (a SECOND large fit in one process has faulted the device — CLAUDE.md).
     """
     import gpax_tpu
     from gpax_tpu.ppl import initialize_model
@@ -78,14 +105,14 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
         def fit(k):
             zs, stats, _ = run_nuts_segmented(
                 info.potential_fn, info.init_unconstrained, k,
-                num_warmup, num_samples, max_tree_depth=MAX_DEPTH,
+                num_warmup, num_samples, max_tree_depth=max_depth,
                 segment_size=segment_size)
             return zs, stats
     else:
         fit = jax.jit(
             lambda k: run_nuts(
                 info.potential_fn, info.init_unconstrained, k,
-                num_warmup, num_samples, max_tree_depth=MAX_DEPTH,
+                num_warmup, num_samples, max_tree_depth=max_depth,
             )[:2]
         )
     compiled_note = "warm"
@@ -99,29 +126,43 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
     jax.block_until_ready(zs)
     fit_s = time.time() - t0
 
-    leapfrogs = float(np.asarray(stats["num_steps"]).sum()) + num_warmup + num_samples
+    seg_leap = np.asarray(stats.get("segment_leapfrogs", []), dtype=np.float64)
+    if seg_leap.size:
+        # honest count: every transition incl. warmup (telemetry from the
+        # segmented runner) — the sliced num_steps would drop warmup trees
+        leapfrogs = float(seg_leap.sum())
+    else:
+        leapfrogs = float(np.asarray(stats["num_steps"]).sum()) \
+            + num_warmup + num_samples
     cpu_s_per_leapfrog = CPU_SECONDS_PER_LEAPFROG_N2048 * (n / 2048) ** 3
-    # fwd gram+factor+inverse ~ n^3, backward matmul pullback ~ 2n^3 (f32)
+    # useful FLOPs: fwd gram+factor+inverse ~ n³, backward matmul pullback ~ 2n³
     flops = leapfrogs * 3.0 * n**3
+    tflops_per_s = flops / fit_s / 1e12
     extra = dict(
         leapfrogs=leapfrogs,
         leapfrogs_per_s=leapfrogs / fit_s,
-        est_tflops_per_s=flops / fit_s / 1e12,
-        est_mxu_util_pct=100.0 * 3.0 * flops / fit_s / V5E_BF16_PEAK,
+        est_tflops_per_s=tflops_per_s,
+        # useful-FLOP MFU, consistent with est_tflops_per_s (round 2 multiplied
+        # an extra 3x for bf16 hardware passes, inflating utilization)
+        est_mxu_util_pct=100.0 * tflops_per_s * 1e12 / V5E_BF16_PEAK,
         accept_rate=float(np.asarray(stats["accept_prob"]).mean()),
+        max_depth=max_depth,
         timing=compiled_note,
     )
     seg_wall = np.asarray(stats.get("segment_wall_s", []))
-    if seg_wall.size > 2:
+    if seg_wall.size > 2 and seg_leap.size == seg_wall.size:
         # segment 1 carries the (tunnel-dependent, multi-minute) compile;
         # warm throughput from the remaining segments is the honest
         # steady-state number the compile cache gives every later fit
-        compile_s = max(float(seg_wall[0] - np.median(seg_wall[1:])), 0.0)
-        warm_s = max(fit_s - compile_s, 1e-9)
-        extra["est_compile_s"] = compile_s
+        warm_s = float(seg_wall[1:].sum())
+        warm_leap = float(seg_leap[1:].sum())
+        extra["est_compile_s"] = max(
+            float(seg_wall[0] - np.median(seg_wall[1:])), 0.0)
         extra["warm_fit_s"] = warm_s
-        extra["leapfrogs_per_s_warm"] = leapfrogs / warm_s
-    emit(
+        extra["leapfrogs_per_s_warm"] = warm_leap / max(warm_s, 1e-9)
+        extra["est_tflops_per_s_warm"] = \
+            warm_leap * 3.0 * n**3 / max(warm_s, 1e-9) / 1e12
+    return emit(
         f"exactgp_rbf1d_n{n}_nuts{num_warmup}+{num_samples}_fit_wallclock",
         fit_s, "s", cpu_s_per_leapfrog * leapfrogs / fit_s,
         **extra,
@@ -132,18 +173,17 @@ def bench_exactgp_headline():
     # segment sizes bound the WORST-CASE device-call duration below ~60 s
     # (segments × 2^max_depth leapfrogs × measured s/leapfrog): every observed
     # runtime fault had multi-minute device calls, every sub-minute call
-    # succeeded (N8192_NOTE.md).  warm_time=False: a second large fit in the
-    # same process has also faulted the device (r01) — the single timed run
-    # includes compile, amortized by the persistent compilation cache.
-    bench_exactgp(HEADLINE_N, segment_size=25, warm_time=False)
+    # succeeded (N8192_NOTE.md).  At depth 7 / n=4096 (26 ms/leapfrog):
+    # 12 × 128 × 0.026 ≈ 40 s worst case.
+    bench_exactgp(HEADLINE_N, segment_size=12, warm_time=False)
 
 
 def bench_exactgp_8k():
-    """North-star config: n=8192 NUTS fit (r01 faulted the device here; the
-    matmul-only MVN VJP program of r02 runs it — see scripts/tpu_n8192_probe).
-    50+50 budget (the r01 validation budget for n=4096): 216 ms/leapfrog makes
-    100+100 a multi-hour line; segment 4 keeps calls under ~55 s worst-case."""
-    bench_exactgp(8192, segment_size=4, warm_time=False,
+    """North-star config: n=8192 NUTS fit.  50+50 budget (the r01 validation
+    budget): ~165-216 ms/leapfrog makes 100+100 a multi-hour line; depth 7 +
+    segment 2 keeps worst-case calls under ~55 s and lifts accept from the
+    truncated 0.63 (depth 6) to the probe's 0.86 (N8192_NOTE.md)."""
+    bench_exactgp(8192, segment_size=2, warm_time=False,
                   num_warmup=50, num_samples=50)
 
 
@@ -245,11 +285,11 @@ def bench_mtgp_bo():
     key_fit, key_pred = gpax_tpu.utils.get_keys()
     mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2, rank=2)
     t0 = time.time()
-    # segment_size: one 2000-iteration program over the gather-heavy LCM kernel
-    # faulted the TPU runtime (same program-shape fault class as N8192_NOTE.md);
-    # bounded segments with exact adaptation carry-over avoid it
+    # segment_size: one 2000-iteration program over the LCM kernel faulted the
+    # TPU runtime (duration-fault class, N8192_NOTE.md); bounded segments with
+    # exact adaptation carry-over avoid it
     mtgp.fit(key_fit, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
-             num_warmup=1000, num_samples=1000, segment_size=250,
+             num_warmup=1000, num_samples=1000, segment_size=500,
              print_summary=False, progress_bar=False)
     fit_s = time.time() - t0
     grid = np.linspace(0, 2, 101)
@@ -262,9 +302,15 @@ def bench_mtgp_bo():
     acq = EI(key_pred, mtgp, X_test, maximize=True, noiseless=True)
     jax.block_until_ready(acq)
     acq_warm_s = time.time() - t0
+    stats = mtgp.mcmc.get_extra_fields()
+    seg_leap = np.asarray(stats.get("segment_leapfrogs", []), dtype=np.float64)
+    leapfrogs = float(seg_leap.sum()) if seg_leap.size else -1.0
     emit(
         f"mtgp_bo_n{n_lo}+{n_hi}_nuts1000+1000_fit_wallclock",
         fit_s, "s", None,
+        leapfrogs=leapfrogs,
+        leapfrogs_per_s=leapfrogs / fit_s if leapfrogs > 0 else -1.0,
+        accept_rate=float(np.asarray(stats["accept_prob"]).mean()),
         acq_eval_s=acq_s,
         acq_points_per_s=float(grid.shape[0]) / acq_s,
         acq_points_per_s_warm=float(grid.shape[0]) / acq_warm_s,
@@ -312,33 +358,80 @@ def bench_vidkl_al():
 
 
 CONFIGS = {
-    "vigp": bench_vigp_sparse_image,
-    "visparsegp": bench_visparsegp,
-    "mtgp": bench_mtgp_bo,
-    "vidkl": bench_vidkl_al,
     "exactgp": bench_exactgp_headline,
     "exactgp8k": bench_exactgp_8k,
+    "mtgp": bench_mtgp_bo,
+    "vigp": bench_vigp_sparse_image,
+    "visparsegp": bench_visparsegp,
+    "vidkl": bench_vidkl_al,
+}
+
+# priority order + rough worst-case wall-clock (cold compile through the
+# tunnel included); a config is skipped when the remaining budget cannot
+# cover ~60% of its estimate
+ORDER = ("exactgp", "exactgp8k", "mtgp", "vigp", "visparsegp", "vidkl")
+EST_COST_S = {
+    "exactgp": 700, "exactgp8k": 1400, "mtgp": 500,
+    "vigp": 600, "visparsegp": 400, "vidkl": 350,
 }
 
 
 def main():
     # One subprocess per config: several large jit programs in one TPU process
     # can fault the device (CLAUDE.md), and a fault must not take down the
-    # remaining configs.  Small configs first; the north-star n=8192 NUTS
-    # program runs LAST so its JSON line is the one single-line consumers
-    # parse (with the known-good n=4096 line emitted just before as backstop).
-    for i, name in enumerate(("vigp", "visparsegp", "mtgp", "vidkl",
-                              "exactgp", "exactgp8k")):
+    # remaining configs.  PRIORITY order — ExactGP headline + north star
+    # first — with wall-clock budgeting so the important lines always print
+    # inside the driver's window.
+    t_start = time.time()
+    try:
+        os.unlink(LINES_FILE)
+    except OSError:
+        pass
+    prev_failed = False
+    for i, name in enumerate(ORDER):
+        elapsed = time.time() - t_start
+        remaining = TOTAL_BUDGET_S - elapsed
+        if remaining < 0.6 * EST_COST_S[name]:
+            print(f"# skipping {name}: {remaining:.0f}s left < "
+                  f"est {EST_COST_S[name]}s", flush=True)
+            continue
         if i:
-            time.sleep(75)  # a faulted device needs ~1 min to recover
+            # a faulted device needs ~1 min to recover; a clean exit only
+            # needs the old process to be fully gone
+            time.sleep(75 if prev_failed else 15)
+        prev_failed = False
         try:
+            # children inherit stdout: their JSON lines stream straight to the
+            # driver, so everything printed so far survives even if the driver
+            # kills THIS process mid-config (the BENCH_r02 failure mode)
             rc = subprocess.run(
-                [sys.executable, __file__, name], timeout=3600,
+                [sys.executable, __file__, name],
+                timeout=max(60.0, min(remaining - 30.0, 2.0 * EST_COST_S[name])),
             ).returncode
             if rc != 0:
+                prev_failed = True
                 emit(f"FAILED_{name}", -1.0, "s", None, error=f"rc={rc}")
         except Exception as e:
+            prev_failed = True
             emit(f"FAILED_{name}", -1.0, "s", None, error=repr(e)[:300])
+
+    # re-emit the north-star line LAST for single-line consumers (children
+    # recorded their lines in LINES_FILE)
+    seen_lines = []
+    try:
+        with open(LINES_FILE) as fh:
+            for ln in fh:
+                try:
+                    seen_lines.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    pass
+    except OSError:
+        pass
+    for prefix in ("exactgp_rbf1d_n8192", "exactgp_rbf1d_n4096"):
+        star = [ln for ln in seen_lines if ln.get("metric", "").startswith(prefix)]
+        if star:
+            print(json.dumps(star[-1]), flush=True)
+            break
 
 
 if __name__ == "__main__":

@@ -391,7 +391,6 @@ class MultivariateNormal(Distribution):
     def log_prob(self, value):
         diff = value - self.loc
         if self._covariance is not None:
-            from ..ops.chol import blocked_eligible
             from ..ops.linalg import mvn_log_prob_centered
             from ..parallel.distributed_chol import (
                 active_sharded_linalg, make_sharded_mvn_log_prob,
@@ -405,9 +404,15 @@ class MultivariateNormal(Distribution):
                 mesh, axis_name, leaf = ctx
                 return make_sharded_mvn_log_prob(mesh, axis_name, leaf)(
                     self._covariance, diff)
-            if blocked_eligible(self._covariance.shape[-1],
-                                self._covariance.dtype):
-                # matmul-only custom-VJP density: the NUTS leapfrog hot path
+            if self._covariance.ndim == 2:
+                # matmul-only custom-VJP density: the NUTS leapfrog hot path.
+                # Used at EVERY n, not just the blocked-Pallas sizes — at small
+                # n (MultiTaskGP/CoregGP/sPM-scale likelihoods) the win is op
+                # COUNT: the closed-form backward (β, WᵀW, one outer product)
+                # replaces XLA's serialized Cholesky/TRSM pullback chains,
+                # which dominate per-leapfrog cost on a runtime with a
+                # multi-ms per-op floor (CLAUDE.md).  chol_tri_factors picks
+                # blocked Pallas trtri vs one XLA TRSM by size.
                 return mvn_log_prob_centered(self._covariance, diff)
         w = _batched_tri_solve(self.scale_tril, diff)
         maha = (w * w).sum(-1)

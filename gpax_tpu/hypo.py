@@ -59,7 +59,10 @@ def step(model: Callable, model_prior: Callable,
             # constant (deterministic) sites give 0/0 -> NaN; they are not a
             # convergence failure
             rhats.append(0.0 if np.isnan(rh) else float(rh))
-        if max(rhats) < 1.1:
+        # default=0.0: a posterior with only scalar sites (e.g. a one-parameter
+        # sPM hypothesis) leaves rhats empty — treat it as converged instead of
+        # crashing on max() of an empty list
+        if max(rhats, default=0.0) < 1.1:
             break
     obj = 0
     if X_unmeasured is not None:

@@ -104,7 +104,27 @@ class MCMC:
             outs = []
             for c in range(self.num_chains):
                 z0 = chain_init(init_keys[c], c)
-                outs.append(jax.jit(one_chain)(chain_keys[c], z0))
+                if self.segment_size:
+                    # chains run one at a time, but each chain's device calls
+                    # still need bounding at large n (duration-fault rule,
+                    # N8192_NOTE.md) — per-chain segmented execution
+                    from .nuts import run_nuts_segmented
+
+                    zs_c, stats_c, _ = run_nuts_segmented(
+                        info.potential_fn, z0, chain_keys[c],
+                        num_warmup=self.num_warmup,
+                        num_samples=self.num_samples,
+                        segment_size=self.segment_size,
+                        max_tree_depth=self.kernel.max_tree_depth,
+                        target_accept_prob=self.kernel.target_accept_prob,
+                        init_step_size=self.kernel.step_size,
+                        progress=self.progress_bar,
+                    )
+                    stats_c = {k: v for k, v in stats_c.items()
+                               if not k.startswith("segment_")}
+                    outs.append((zs_c, stats_c))
+                else:
+                    outs.append(jax.jit(one_chain)(chain_keys[c], z0))
             zs = jnp.stack([o[0] for o in outs])
             stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
         elif self.segment_size and self.chain_method in ("vectorized", "parallel"):

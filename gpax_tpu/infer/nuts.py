@@ -453,6 +453,11 @@ def run_nuts_segmented(
     # per-segment wall-clock (segment 1 includes compile) — lets callers
     # separate compile from sampling throughput
     stats["segment_wall_s"] = jnp.asarray(seg_wall)
+    # per-segment leapfrog counts over ALL transitions — the sliced num_steps
+    # above drops warmup, whose (often deepest) trees dominate early segments;
+    # throughput computed from sliced counts over-reports ms/leapfrog
+    stats["segment_leapfrogs"] = jnp.asarray(
+        [p["num_steps"].sum() for p in stats_parts], jnp.int32)
     return zs, stats, unravel
 
 
@@ -544,13 +549,16 @@ def run_nuts_segmented_chains(
     carry = (state0, da0, wf0)
     if shard_put is not None:
         carry = shard_put(carry)
-    zs_parts, stats_parts = [], []
+    zs_parts, stats_parts, seg_wall = [], [], []
     n_segments = (total + pad) // segment_size
+    import time as _time
     for s in range(n_segments):
         sl = slice(s * segment_size, (s + 1) * segment_size)
         xs_seg = tuple(jnp.asarray(x[sl]) for x in xs_np)
+        t0 = _time.perf_counter()
         carry, (zs, stats) = seg_scan(carry, xs_seg)
         jax.block_until_ready(zs)
+        seg_wall.append(_time.perf_counter() - t0)
         zs_parts.append(zs)
         stats_parts.append(stats)
         if progress:
@@ -567,4 +575,10 @@ def run_nuts_segmented_chains(
             0, 1)
         for k in stats_parts[0]
     }
+    # same per-segment telemetry as run_nuts_segmented (CLAUDE.md: trust
+    # per-segment numbers over single wall clocks on this tunnel runtime);
+    # leapfrogs summed over chains AND all transitions incl. warmup
+    stats["segment_wall_s"] = jnp.asarray(seg_wall)
+    stats["segment_leapfrogs"] = jnp.asarray(
+        [p["num_steps"].sum() for p in stats_parts], jnp.int32)
     return zs, stats, unravel

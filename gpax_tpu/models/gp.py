@@ -82,6 +82,16 @@ class ExactGP:
     # instance arrays that jitted prediction programs bake in as constants —
     # the _cached_program guard re-traces when any of their identities change
     _traced_constants = ("X_train", "y_train")
+    # ExactGP.model treats X as constant data: the fused likelihood op returns
+    # a ZERO cotangent for X (ops/fused_density.py).  A subclass that reuses
+    # this model with a parameter-dependent X (latent inputs) MUST set this
+    # False (or override model, as UIGP/DKL do) — otherwise gradients through
+    # the inputs silently vanish.  Checked in _fused_likelihood_ok.
+    _input_is_constant = True
+    # bound on cached compiled prediction programs per instance (see
+    # _cached_program): stale-state entries are evicted eagerly, this cap
+    # guards against signature churn (many grid shapes) in one model state
+    _prog_cache_max = 8
 
     def __init__(
         self,
@@ -177,6 +187,8 @@ class ExactGP:
         cfg = get_config()
         if cfg.use_fused_likelihood == "never":
             return False
+        if not getattr(type(self), "_input_is_constant", False):
+            return False  # latent-input subclass: X needs real gradients
         if active_sharded_linalg() is not None:
             return False  # model-parallel context owns the density
         if self.kernel_name not in ("RBF", "Matern"):
@@ -272,12 +284,17 @@ class ExactGP:
                 )
                 fit_args = (X_fit, y_fit, noise_mask)
 
-        if segment_size is None and (
-                num_chains == 1 or chain_method in ("vectorized", "parallel")):
+        if segment_size is None:
+            # vectorized/parallel chains run lockstep in one program (cost
+            # scales with num_chains); sequential chains run one at a time
+            # (cost_mult=1) but still need bounded per-chain device calls —
+            # the runtime-fault trigger is call DURATION (N8192_NOTE.md)
+            lockstep = num_chains > 1 and chain_method in ("vectorized", "parallel")
             segment_size = _auto_segment_size(
                 fit_args[0].shape[-2] if fit_args[0].ndim > 1 else
                 fit_args[0].shape[0],
-                num_warmup + num_samples, cost_mult=num_chains)
+                num_warmup + num_samples,
+                cost_mult=num_chains if lockstep else 1)
 
         self.mcmc = MCMC(
             NUTS(self.model, init_strategy="median"),
@@ -536,12 +553,22 @@ class ExactGP:
         instance, keyed by input structure plus the IDENTITY of the training
         arrays the closure bakes in as constants (held strongly in the cache
         value so their ids cannot be recycled); any non-hashable kwargs fall
-        back to the uncached path."""
+        back to the uncached path.
+
+        Bounded: entries whose traced constants no longer match the live model
+        state are evicted on every lookup (each refit replaces X_train/y_train,
+        so an active-learning loop holds only the CURRENT program set instead of
+        pinning every past training set + executable), and the cache is capped
+        at ``_prog_cache_max`` entries (oldest first) against grid-shape churn."""
         if not all(isinstance(v, (int, float, bool, str, type(None)))
                    for v in kwargs.values()):
             return builder()
         cache = self.__dict__.setdefault("_prog_cache", {})
         state = tuple(getattr(self, name, None) for name in self._traced_constants)
+        for key in [k for k, (st, _) in cache.items()
+                    if len(st) != len(state)
+                    or any(a is not b for a, b in zip(st, state))]:
+            del cache[key]
         leaves, treedef = jax.tree_util.tree_flatten(samples)
         sig = (
             kind, X_new.shape, str(X_new.dtype),
@@ -551,10 +578,12 @@ class ExactGP:
             tuple(id(s) for s in state),
         )
         hit = cache.get(sig)
-        if hit is not None and all(a is b for a, b in zip(hit[0], state)):
+        if hit is not None:
             return hit[1]
         prog = builder()
         cache[sig] = (state, prog)
+        while len(cache) > self._prog_cache_max:
+            del cache[next(iter(cache))]
         return prog
 
     def _set_data(self, X: jnp.ndarray, y: Optional[jnp.ndarray] = None):

@@ -124,7 +124,9 @@ class VarNoiseGP(ExactGP):
             margs = [self.X_train, params] if self.noise_mean_fn_prior else [self.X_train]
             log_var_residual = log_var_residual - jnp.log(self.noise_mean_fn(*margs)).squeeze()
         L_noise = safe_cholesky(k_XX_noise)
-        predicted_log_var = k_pX_noise @ cho_solve(L_noise, log_var_residual)
+        predicted_log_var = jnp.matmul(
+            k_pX_noise, cho_solve(L_noise, log_var_residual),
+            precision=jax.lax.Precision.HIGHEST)
         if self.noise_mean_fn is not None:
             margs = [X_new, params] if self.noise_mean_fn_prior else [X_new]
             predicted_log_var = predicted_log_var + jnp.log(self.noise_mean_fn(*margs)).squeeze()

@@ -13,14 +13,14 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.scipy.linalg import solve_triangular
-
 from .. import distributions as dist
 from .. import ppl
 from ..infer import SVI, Trace_ELBO
-from ..ops.linalg import safe_cholesky
+from ..ops.linalg import safe_chol_inv
 from ..utils import initialize_inducing_points
 from .vigp import viGP
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 class viSparseGP(viGP):
@@ -63,9 +63,11 @@ class viSparseGP(viGP):
             f_loc += self.mean_fn(*args).squeeze()
 
         Kuu = self.kernel(Xu, Xu, kernel_params, **kwargs)
-        Luu = safe_cholesky(Kuu)
+        _, Wuu = safe_chol_inv(Kuu)
         Kuf = self.kernel(Xu, X, kernel_params)
-        W = solve_triangular(Luu, Kuf, lower=True).T          # (n, m)
+        # whitened cross-covariance as ONE HIGHEST-precision matmul (Wuu=Luu⁻¹)
+        # instead of a serialized TRSM in the per-SVI-step hot loop
+        W = jnp.matmul(Wuu, Kuf, precision=_HI).T             # (n, m)
         # k(x, x) diagonal in O(n·d) via a vmapped 1x1 kernel evaluation — the
         # reference materializes the full n x n gram just to take its diagonal
         # (sparse_gp.py:101), an O(n²d) cost per SVI step.
@@ -115,11 +117,22 @@ class viSparseGP(viGP):
     def get_mvn_posterior(self, X_new: jnp.ndarray, params: Dict[str, jnp.ndarray],
                           noiseless: bool = False, **kwargs
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Whitened sparse predictive (standard VFE posterior):
-        p(f*|y) = N(Ws"ᵀ L⁻ᵀ L⁻¹ W D⁻¹ y, Kss − Qss + Ws"ᵀ (I + W D⁻¹ Wᵀ)⁻¹ Ws")."""
+        """VFE predictive, all-matmul TPU form (behavioral parity with the
+        reference's whitened solve chain, gpax/models/sparse_gp.py:173-223,
+        but built on ops.linalg (L, L⁻¹) factorizations so every triangular
+        solve is an MXU matmul, with explicit HIGHEST precision on each
+        m×m / m×n product — a default-precision (bf16-truncated) capacitance
+        matrix here is exactly the indefinite-gram failure mode of the f32
+        rules in CLAUDE.md).
+
+        Math: with whitened cross-covariances V = Luu⁻¹K_uf, Vs = Luu⁻¹K_us
+        and capacitance B = I_m + V D⁻¹ Vᵀ (D = noise):
+
+            mean = VsᵀB⁻¹V D⁻¹ y,   cov = K_ss − VsᵀVs + VsᵀB⁻¹Vs
+        """
         noise = params["noise"]
-        N = self.X_train.shape[0]
-        D = jnp.broadcast_to(noise, (N,))
+        n_train = self.X_train.shape[0]
+        noise_vec = jnp.broadcast_to(noise, (n_train,))
         noise_p = noise * (1 - jnp.asarray(noiseless, int))
 
         y_residual = self.y_train
@@ -127,26 +140,27 @@ class viSparseGP(viGP):
             args = [self.X_train, params] if self.mean_fn_prior else [self.X_train]
             y_residual = y_residual - self.mean_fn(*args).squeeze()
 
+        # inducing factorization once; Wuu = Luu⁻¹ turns both whitening solves
+        # into matmuls
         Kuu = self.kernel(self.Xu, self.Xu, params, **kwargs)
-        Luu = safe_cholesky(Kuu)
-        Kuf = self.kernel(self.Xu, self.X_train, params, jitter=0)
-        W = solve_triangular(Luu, Kuf, lower=True)            # (m, n)
-        W_Dinv = W / D
-        C = W_Dinv @ W.T
-        C = C.at[jnp.diag_indices(C.shape[0])].add(1.0)
-        L = safe_cholesky(C)
+        _, Wuu = safe_chol_inv(Kuu)
+        V = jnp.matmul(Wuu, self.kernel(self.Xu, self.X_train, params, jitter=0),
+                       precision=_HI)                                   # (m, n)
+        Vs = jnp.matmul(Wuu, self.kernel(self.Xu, X_new, params, jitter=0),
+                        precision=_HI)                                  # (m, s)
 
-        W_Dinv_y = W_Dinv @ y_residual.reshape(-1, N).T       # (m, 1)
-        Kus = self.kernel(self.Xu, X_new, params, jitter=0)
-        Ws = solve_triangular(Luu, Kus, lower=True)           # (m, s)
-        pack = jnp.concatenate([W_Dinv_y, Ws], axis=1)
-        Linv_pack = solve_triangular(L, pack, lower=True)
-        Linv_W_Dinv_y = Linv_pack[:, : W_Dinv_y.shape[1]]
-        Linv_Ws = Linv_pack[:, W_Dinv_y.shape[1]:]
+        Vd = V / noise_vec[None, :]
+        B = jnp.matmul(Vd, V.T, precision=_HI)
+        B = B.at[jnp.diag_indices(B.shape[0])].add(1.0)
+        _, Wb = safe_chol_inv(B)                                        # Lb⁻¹
 
-        mean = (Linv_W_Dinv_y.T @ Linv_Ws).squeeze()
+        G = jnp.matmul(Wb, Vs, precision=_HI)                           # (m, s)
+        r = jnp.matmul(Wb, Vd @ y_residual, precision=_HI)              # (m,)
+        mean = jnp.matmul(G.T, r, precision=_HI).squeeze()
+
         Kss = self.kernel(X_new, X_new, params, noise_p, **kwargs)
-        cov = Kss - Ws.T @ Ws + Linv_Ws.T @ Linv_Ws
+        cov = (Kss - jnp.matmul(Vs.T, Vs, precision=_HI)
+               + jnp.matmul(G.T, G, precision=_HI))
 
         if self.mean_fn is not None:
             args = [X_new, params] if self.mean_fn_prior else [X_new]

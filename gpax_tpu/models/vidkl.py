@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import distributions as dist
 from .. import ppl
 from ..infer import SVI, AutoDelta, AutoNormal, Trace_ELBO
-from ..nn.modules import MLP, Module, module_param, random_module
+from ..nn.modules import MLP, Module, as_module, module_param, random_module
 from ..ops.linalg import gp_predictive_mean_var, gp_predictive_moments, mvn_sample_from_cov
 from ..utils import get_haiku_dict
 from .gp import ExactGP
@@ -37,7 +37,8 @@ class viDKL(ExactGP):
 
     def __init__(self, input_dim: Union[int, Tuple[int, ...]], z_dim: int = 2,
                  kernel="RBF", kernel_prior: Optional[Callable] = None,
-                 nn: Optional[Module] = None, nn_prior: bool = True,
+                 nn: Optional[Union[Module, Tuple[Callable, Callable]]] = None,
+                 nn_prior: bool = True,
                  latent_prior: Optional[Callable] = None,
                  guide: str = "delta", **kwargs) -> None:
         super().__init__(
@@ -46,7 +47,10 @@ class viDKL(ExactGP):
         )
         if guide not in ("delta", "normal"):
             raise NotImplementedError("Select guide between 'delta' and 'normal'")
-        self.nn_module: Module = nn if nn is not None else MLP(z_dim)
+        # as_module: accepts a Module subclass, a plain (init_fn, apply_fn)
+        # pair, or any object with .init/.apply — the reference's arbitrary-
+        # module extensibility (gpax/models/vidkl.py:60-99) without haiku
+        self.nn_module: Module = as_module(nn) if nn is not None else MLP(z_dim)
         self.nn_prior = nn_prior
         self.kernel_dim = z_dim
         self.data_dim = (input_dim,) if isinstance(input_dim, int) else tuple(input_dim)

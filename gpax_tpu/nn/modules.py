@@ -35,6 +35,47 @@ class Module:
         raise NotImplementedError
 
 
+class FunctionalModule(Module):
+    """Adapter wrapping a plain ``(init_fn, apply_fn)`` pair as a Module.
+
+    Restores the reference's extensibility surface — any user-supplied network
+    (the reference accepts arbitrary haiku transforms, gpax/models/vidkl.py:60-99)
+    plugs into viDKL/viMTDKL without subclassing :class:`Module`:
+
+        dkl = viDKL(input_dim=d, nn=(my_init, my_apply))
+
+    ``init_fn(key, x) -> params`` must return a pytree of f32 arrays;
+    ``apply_fn(params, x) -> (n, z_dim)`` embeds a batch.
+    """
+
+    def __init__(self, init_fn: Callable, apply_fn: Callable):
+        self._init_fn = init_fn
+        self._apply_fn = apply_fn
+
+    def init(self, key, x: jnp.ndarray):
+        return self._init_fn(key, x)
+
+    def apply(self, params, x: jnp.ndarray):
+        return self._apply_fn(params, x)
+
+
+def as_module(nn) -> Module:
+    """Coerce user input into a Module: passes Modules through, wraps an
+    ``(init, apply)`` tuple — including haiku-style transformed pairs — in a
+    :class:`FunctionalModule`."""
+    if isinstance(nn, Module):
+        return nn
+    if isinstance(nn, (tuple, list)) and len(nn) == 2 and all(callable(f) for f in nn):
+        return FunctionalModule(*nn)
+    # haiku-style transformed object with .init/.apply attributes
+    if callable(getattr(nn, "init", None)) and callable(getattr(nn, "apply", None)):
+        return FunctionalModule(nn.init, nn.apply)
+    raise TypeError(
+        "nn must be a Module, an (init_fn, apply_fn) pair, or an object with "
+        f".init/.apply callables; got {type(nn)!r}"
+    )
+
+
 def _linear_init(key, d_in: int, d_out: int):
     kw, _ = jax.random.split(key)
     scale = 1.0 / math.sqrt(d_in)
@@ -139,14 +180,25 @@ class ConvNet(Module):
 
 
 def _flatten_with_path(tree, prefix=""):
+    if isinstance(tree, dict):
+        out = []
+        for k in sorted(tree):
+            v = tree[k]
+            path = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                out += _flatten_with_path(v, path)
+            else:
+                out.append((path, v))
+        return out
+    # arbitrary (user-module) pytrees: jax path API, '/'-joined key strings
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out = []
-    for k in sorted(tree):
-        v = tree[k]
-        path = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            out += _flatten_with_path(v, path)
-        else:
-            out.append((path, v))
+    for keypath, leaf in flat:
+        parts = [getattr(k, "key", getattr(k, "name", getattr(k, "idx", None)))
+                 for k in keypath]
+        path = "/".join([prefix] + [str(p) for p in parts]) if prefix else \
+            "/".join(str(p) for p in parts)
+        out.append((path, leaf))
     return out
 
 

@@ -72,16 +72,21 @@ def chol_tri_factors(K: jnp.ndarray, base_jitter: float = 0.0
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(L, W=L⁻¹) of K + jitter·I for NON-differentiated consumers (predictive
     paths): XLA's native Cholesky for the factor, blocked Pallas trtri for the
-    inverse, and ``lax.cond`` jitter escalation so the common (PD) case pays
-    exactly ONE factorization — unlike safe_cholesky's always-on probe, which
-    exists to keep gradients NaN-free and is unnecessary without gradients."""
+    inverse (above the Pallas threshold; one XLA TRSM-against-identity below
+    it — at small n a single solve op beats tile-kernel padding, and on CPU it
+    avoids interpret-mode Pallas entirely), and ``lax.cond`` jitter escalation
+    so the common (PD) case pays exactly ONE factorization — unlike
+    safe_cholesky's always-on probe, which exists to keep gradients NaN-free
+    and is unnecessary without gradients."""
     if K.ndim > 2:
         return jax.vmap(lambda k: chol_tri_factors(k, base_jitter))(K)
     j_base, j_big, eye = _jitter_scales(K, base_jitter)
     L1 = jnp.linalg.cholesky(K + j_base * eye)
     ok = jnp.all(jnp.isfinite(L1))
     L = jax.lax.cond(ok, lambda: L1, lambda: jnp.linalg.cholesky(K + j_big * eye))
-    return L, blocked_trtri(L, _interpret_mode())
+    if blocked_eligible(K.shape[-1], K.dtype):
+        return L, blocked_trtri(L, _interpret_mode())
+    return L, solve_triangular(L, eye, lower=True)
 
 
 @jax.custom_vjp

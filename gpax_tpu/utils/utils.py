@@ -70,8 +70,13 @@ def get_haiku_dict(kernel_params: Dict[str, jnp.ndarray]) -> Dict[str, Dict[str,
     out: Dict[str, Dict[str, jnp.ndarray]] = {}
     for key, val in kernel_params.items():
         if key.startswith("feature_extractor/"):
-            _, mod, pname = key.split("/")
-            out.setdefault(mod, {})[pname] = val
+            # nest by the remaining path parts — user (init, apply) modules may
+            # have param trees of any depth, incl. flat {'w1': ...} dicts
+            parts = key.split("/")[1:]
+            node = out
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = val
     return out
 
 
