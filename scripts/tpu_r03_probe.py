@@ -1,0 +1,254 @@
+"""Round-3 on-chip probes.  Each subcommand runs in its own process (one TPU
+process at a time; one big fit per process — CLAUDE.md) and appends one JSON
+line to PROFILE_r03.jsonl:
+
+    python scripts/tpu_r03_probe.py mtgp_prof     # small-n LCM potential + NUTS rate
+    python scripts/tpu_r03_probe.py exact8k_ab    # bare potgrad vs in-NUTS @8192
+    python scripts/tpu_r03_probe.py mvn_ablate    # mvn_log_prob_centered VJP breakdown
+    python scripts/tpu_r03_probe.py fused_ab      # fused vs composed potgrad @8192
+
+Same-process A/B everywhere (tunnel service throughput varies 2-10x between
+runs — CLAUDE.md), warm rates from per-segment telemetry.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpax_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+OUT = pathlib.Path("/root/repo/PROFILE_r03.jsonl")
+HI = jax.lax.Precision.HIGHEST
+
+
+def record(**kv):
+    kv = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in kv.items()}
+    print(json.dumps(kv), flush=True)
+    with OUT.open("a") as fh:
+        fh.write(json.dumps(kv) + "\n")
+
+
+def loop_time_z(pg, z, reps):
+    """Time value_and_grad in a fori_loop (amortizes dispatch)."""
+    @jax.jit
+    def looped(z):
+        def body(i, z):
+            u, g = pg(z)
+            return z - 1e-7 * g
+        return jax.lax.fori_loop(0, reps, body, z)
+
+    r = looped(z)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = looped(z)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / reps
+
+
+def hlo_op_count(fn, *args):
+    """Instruction count of the optimized HLO (rough op-floor predictor)."""
+    try:
+        comp = jax.jit(fn).lower(*args).compile()
+        txt = comp.as_text()
+        n = sum(1 for ln in txt.splitlines()
+                if "=" in ln and not ln.lstrip().startswith(("//", "ENTRY", "}")))
+        return n
+    except Exception:
+        return -1
+
+
+def _mtgp_setup():
+    import gpax_tpu
+
+    rng = np.random.default_rng(0)
+    n_lo, n_hi = 40, 8
+    X_lo, X_hi = rng.uniform(0, 2, n_lo), rng.uniform(0, 2, n_hi)
+    X = np.concatenate([np.column_stack([X_lo, np.zeros(n_lo)]),
+                        np.column_stack([X_hi, np.ones(n_hi)])])
+    y = np.concatenate([0.8 * np.sin(5 * X_lo) * np.exp(-X_lo),
+                        np.sin(5 * X_hi) * np.exp(-X_hi)])
+    mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2, rank=2)
+    X = jnp.asarray(X, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    mtgp.X_train, mtgp.y_train = X, y
+    return mtgp, X, y
+
+
+def mtgp_prof():
+    from gpax_tpu.ppl import initialize_model
+    from gpax_tpu.infer.nuts import run_nuts_segmented
+
+    mtgp, X, y = _mtgp_setup()
+    info = initialize_model(mtgp.model, jax.random.PRNGKey(0), (X, y))
+    zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
+    pg = jax.value_and_grad(lambda z: info.potential_fn(unravel(z)))
+
+    ops = hlo_op_count(lambda z: pg(z)[1], zf)
+    potgrad_ms = loop_time_z(pg, zf, 64) * 1e3
+
+    t0 = time.time()
+    zs, stats, _ = run_nuts_segmented(
+        info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(2),
+        num_warmup=100, num_samples=100, max_tree_depth=10, segment_size=50)
+    total_s = time.time() - t0
+    seg_wall = np.asarray(stats["segment_wall_s"])
+    seg_leap = np.asarray(stats["segment_leapfrogs"], np.float64)
+    warm_ms = 1e3 * seg_wall[1:].sum() / max(seg_leap[1:].sum(), 1)
+    record(probe="mtgp_prof", hlo_ops_potgrad=ops, potgrad_ms=potgrad_ms,
+           nuts_total_s=total_s,
+           warm_ms_per_leapfrog=float(warm_ms),
+           leapfrogs=float(seg_leap.sum()),
+           accept=float(np.asarray(stats["accept_prob"]).mean()),
+           seg_wall=[round(float(s), 2) for s in seg_wall],
+           projected_1000x1000_s=float(warm_ms / 1e3 * seg_leap.sum() * 10))
+
+
+def exact8k_ab():
+    import gpax_tpu
+    from gpax_tpu.ppl import initialize_model
+    from gpax_tpu.infer.nuts import run_nuts_segmented
+
+    n = 8192
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), jnp.float32)
+    y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
+    gp = gpax_tpu.ExactGP(1, "RBF")
+    gp.X_train, gp.y_train = X, y
+    info = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
+    zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
+    pg = jax.value_and_grad(lambda z: info.potential_fn(unravel(z)))
+
+    bare_ms = loop_time_z(pg, zf, 4) * 1e3
+
+    t0 = time.time()
+    zs, stats, _ = run_nuts_segmented(
+        info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(2),
+        num_warmup=10, num_samples=10, max_tree_depth=7, segment_size=2)
+    total_s = time.time() - t0
+    seg_wall = np.asarray(stats["segment_wall_s"])
+    seg_leap = np.asarray(stats["segment_leapfrogs"], np.float64)
+    warm_ms = 1e3 * seg_wall[1:].sum() / max(seg_leap[1:].sum(), 1)
+    record(probe="exact8k_ab", bare_potgrad_ms=bare_ms,
+           in_nuts_warm_ms_per_leapfrog=float(warm_ms),
+           ratio=float(warm_ms / bare_ms),
+           leapfrogs=float(seg_leap.sum()),
+           accept=float(np.asarray(stats["accept_prob"]).mean()),
+           nuts_total_s=total_s,
+           seg_wall=[round(float(s), 2) for s in seg_wall],
+           seg_leap=[int(v) for v in seg_leap])
+
+
+def mvn_ablate():
+    from gpax_tpu.ops.linalg import (
+        chol_tri_factors, mvn_log_prob_centered, _mvn_lp_fwd)
+    from gpax_tpu.ops.chol import blocked_trtri
+
+    n = 8192
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(n, n)).astype(np.float32)
+    K = jnp.asarray(A @ A.T / n + np.eye(n, dtype=np.float32))
+    diff = jnp.asarray(rng.normal(size=n), jnp.float32)
+    reps = 4
+
+    def loop_time(fn, X, reps=reps):
+        @jax.jit
+        def looped(X):
+            def body(i, acc):
+                out = fn(X * (1.0 + 1e-9 * jnp.float32(i)))
+                return acc + jnp.ravel(out)[0]
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        r = looped(X)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = looped(X)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / reps
+
+    out = {"probe": "mvn_ablate", "n": n}
+    out["fwd_ms"] = loop_time(lambda K: mvn_log_prob_centered(K, diff), K) * 1e3
+    out["factors_ms"] = loop_time(lambda K: chol_tri_factors(K)[1], K) * 1e3
+    out["chol_ms"] = loop_time(jnp.linalg.cholesky, K, reps) * 1e3
+    L = jnp.linalg.cholesky(K)
+    out["trtri_ms"] = loop_time(blocked_trtri, L) * 1e3
+
+    def vjp_full(K):
+        v, gr = jax.value_and_grad(lambda K: mvn_log_prob_centered(K, diff))(K)
+        return v + gr[0, 0]
+    out["vjp_full_ms"] = loop_time(vjp_full, K) * 1e3
+
+    # backward alone on fixed residuals: beta, WtW, outer, dK assembly
+    W = blocked_trtri(L)
+    alpha = W @ diff
+
+    def bwd_only(W):
+        beta = jnp.einsum("ji,j->i", W, alpha)
+        Kinv = jnp.einsum("ki,kj->ij", W, W)
+        bb = jnp.einsum("i,j->ij", beta, beta)
+        return (0.5 * (bb - Kinv)).sum()
+    out["bwd_only_ms"] = loop_time(bwd_only, W) * 1e3
+
+    def bwd_dot_general(W):
+        beta = jax.lax.dot_general(W, alpha, (((0,), (0,)), ((), ())),
+                                   precision=HI)
+        Kinv = jax.lax.dot_general(W, W, (((0,), (0,)), ((), ())),
+                                   precision=HI)
+        return (0.5 * (beta[:, None] * beta[None, :] - Kinv)).sum()
+    out["bwd_dot_general_hi_ms"] = loop_time(bwd_dot_general, W) * 1e3
+
+    def bwd_default(W):
+        Kinv = jax.lax.dot_general(W, W, (((0,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.DEFAULT)
+        beta = jax.lax.dot_general(W, alpha, (((0,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.DEFAULT)
+        return (0.5 * (beta[:, None] * beta[None, :] - Kinv)).sum()
+    out["bwd_default_ms"] = loop_time(bwd_default, W) * 1e3
+
+    # fwd+bwd but WITHOUT the cond escalation: plain chol + trtri + closed bwd
+    def vjp_nocond(K):
+        L = jnp.linalg.cholesky(K)
+        W = blocked_trtri(L)
+        a = W @ diff
+        lp = -0.5 * (a * a).sum() - jnp.log(jnp.abs(jnp.diagonal(L))).sum()
+        beta = jax.lax.dot_general(W, a, (((0,), (0,)), ((), ())), precision=HI)
+        Kinv = jax.lax.dot_general(W, W, (((0,), (0,)), ((), ())), precision=HI)
+        dK = 0.5 * (beta[:, None] * beta[None, :] - Kinv)
+        return lp + dK[0, 0]
+    out["manual_fwd_bwd_ms"] = loop_time(vjp_nocond, K) * 1e3
+    record(**out)
+
+
+def fused_ab():
+    import gpax_tpu
+    from gpax_tpu.ppl import initialize_model
+
+    n = 8192
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), jnp.float32)
+    y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
+    gp = gpax_tpu.ExactGP(1, "RBF")
+    gp.X_train, gp.y_train = X, y
+
+    out = {"probe": "fused_ab", "n": n}
+    for mode, label in (("auto", "fused"), ("never", "composed")):
+        gpax_tpu.set_config(use_fused_likelihood=mode)
+        info = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
+        zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
+        pg = jax.value_and_grad(lambda z: info.potential_fn(unravel(z)))
+        out[f"potgrad_{label}_ms"] = loop_time_z(pg, zf, 4) * 1e3
+        ops = hlo_op_count(lambda z: pg(z)[1], zf)
+        out[f"hlo_ops_{label}"] = ops
+    gpax_tpu.set_config(use_fused_likelihood="auto")
+    record(**out)
+
+
+if __name__ == "__main__":
+    globals()[sys.argv[1]]()

@@ -18,6 +18,8 @@ EXAMPLES = [
     "heteroskedastic_gp.py",
     "uncertain_inputs.py",
     "measured_noise_gp.py",
+    "compare_gps.py",
+    "structured_gp.py",
 ]
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
