@@ -283,13 +283,19 @@ def bench_mtgp_bo():
                         np.column_stack([X_hi, np.ones(n_hi)])])
     y = np.concatenate([f_lo(X_lo), f_hi(X_hi)])
     key_fit, key_pred = gpax_tpu.utils.get_keys()
-    mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2, rank=2)
+    # rank left at the reference default (num_tasks - 1 = 1, gpax/models/
+    # mtgp.py:109-110).  The r02 bench forced rank=2 for 2 tasks, which makes
+    # B = WWᵀ + diag(v) invariant to rotations of W — a flat posterior
+    # direction along which the U-turn criterion never fires, so NUTS ran
+    # ~1000-leapfrog max-depth trees every transition (measured: 974
+    # leapfrogs/transition, accept 0.55; PROFILE_r03.jsonl mtgp_prof).
+    mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2)
     t0 = time.time()
     # segment_size: one 2000-iteration program over the LCM kernel faulted the
     # TPU runtime (duration-fault class, N8192_NOTE.md); bounded segments with
     # exact adaptation carry-over avoid it
     mtgp.fit(key_fit, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
-             num_warmup=1000, num_samples=1000, segment_size=500,
+             num_warmup=1000, num_samples=1000, segment_size=250,
              print_summary=False, progress_bar=False)
     fit_s = time.time() - t0
     grid = np.linspace(0, 2, 101)

@@ -113,10 +113,13 @@ def _bwd(kind, res, g):
     # may carry NaNs, the output masks stop them), so no n²-sized masks here
     ok = jnp.isfinite(alpha.sum()).astype(Xs.dtype)
 
+    from .linalg import wtw_compensated
+
     beta = jax.lax.dot_general(W, alpha, (((0,), (0,)), ((), ())),
                                precision=_HI)                      # Wᵀα
-    Kinv = jax.lax.dot_general(W, W, (((0,), (0,)), ((), ())),
-                               precision=_HI)                      # WᵀW
+    # split-f32 compensated WᵀW: 3 one-pass MXU matmuls vs HIGHEST's 6
+    # (measured 42→~17 ms at n=8192, ~1e-6 rel err; PROFILE_r03 mvn_ablate)
+    Kinv = wtw_compensated(W)                                      # WᵀW
     if kind == "rbf":
         dm = -0.5 * m
     else:

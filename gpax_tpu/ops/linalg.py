@@ -89,6 +89,28 @@ def chol_tri_factors(K: jnp.ndarray, base_jitter: float = 0.0
     return L, solve_triangular(L, eye, lower=True)
 
 
+def wtw_compensated(W: jnp.ndarray) -> jnp.ndarray:
+    """K⁻¹ = WᵀW via split-f32: W = hi + lo (hi = bf16(W)), so
+
+        WᵀW ≈ hiᵀhi + (hiᵀlo + (hiᵀlo)ᵀ)        (loᵀlo ~ 2⁻²² relative, dropped)
+
+    — three ONE-pass MXU matmuls instead of HIGHEST's six passes.  Measured on
+    chip at n=8192 (PROFILE_r03.jsonl mvn_ablate): the HIGHEST backward WᵀW
+    block costs 42 ms vs 15.6 ms single-pass; this form gets single-pass-class
+    speed with ~1e-6 relative error instead of bf16's ~4e-3 — the 'compensated
+    backward WᵀW' lever deferred from round 2 (CLAUDE.md)."""
+    hi = W.astype(jnp.bfloat16)
+    lo = (W - hi.astype(W.dtype)).astype(jnp.bfloat16)
+
+    def tdot(a, b):
+        return jnp.matmul(jnp.swapaxes(a, -1, -2), b,
+                          preferred_element_type=W.dtype)
+
+    main = tdot(hi, hi)
+    cross = tdot(hi, lo)
+    return main + (cross + jnp.swapaxes(cross, -1, -2))
+
+
 @jax.custom_vjp
 def mvn_log_prob_centered(K: jnp.ndarray, diff: jnp.ndarray) -> jnp.ndarray:
     """log N(diff | 0, K + jitter·I) with a matmul-only custom VJP.
@@ -130,7 +152,9 @@ def _mvn_lp_bwd(res, g):
     W = jnp.where(jnp.isfinite(W), W, 0.0)
     alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
     beta = jnp.einsum("...ji,...j->...i", W, alpha)
-    Kinv = jnp.einsum("...ki,...kj->...ij", W, W)
+    # the dominant n³ term of every leapfrog backward: split-f32 compensated
+    # (3 one-pass matmuls, ~1e-6 rel err) — see wtw_compensated
+    Kinv = wtw_compensated(W)
     bb = jnp.einsum("...i,...j->...ij", beta, beta)
     dK = 0.5 * g[..., None, None] * (bb - Kinv)
     ddiff = -g[..., None] * beta

@@ -170,7 +170,9 @@ def make_sharded_mvn_log_prob(mesh: Mesh, axis_name: Optional[str] = None,
         W = pin(jnp.where(jnp.isfinite(W), W, 0.0))
         alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
         beta = W.T @ alpha
-        Kinv = pin(_mm(W.T, W))
+        # split-f32 compensated WᵀW (3 one-pass matmuls vs HIGHEST's 6; see
+        # ops.linalg.wtw_compensated) — XLA shards the bf16 matmuls the same
+        Kinv = pin(_linalg.wtw_compensated(W))
         bb = beta[:, None] * beta[None, :]
         dK = 0.5 * g * (bb - Kinv)
         ddiff = -g * beta

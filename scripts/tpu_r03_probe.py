@@ -66,7 +66,7 @@ def hlo_op_count(fn, *args):
         return -1
 
 
-def _mtgp_setup():
+def _mtgp_setup(rank=2):
     import gpax_tpu
 
     rng = np.random.default_rng(0)
@@ -76,18 +76,19 @@ def _mtgp_setup():
                         np.column_stack([X_hi, np.ones(n_hi)])])
     y = np.concatenate([0.8 * np.sin(5 * X_lo) * np.exp(-X_lo),
                         np.sin(5 * X_hi) * np.exp(-X_hi)])
-    mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2, rank=2)
+    mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2,
+                                rank=rank)
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     mtgp.X_train, mtgp.y_train = X, y
     return mtgp, X, y
 
 
-def mtgp_prof():
+def mtgp_prof(rank=2, tag="mtgp_prof"):
     from gpax_tpu.ppl import initialize_model
     from gpax_tpu.infer.nuts import run_nuts_segmented
 
-    mtgp, X, y = _mtgp_setup()
+    mtgp, X, y = _mtgp_setup(rank)
     info = initialize_model(mtgp.model, jax.random.PRNGKey(0), (X, y))
     zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
     pg = jax.value_and_grad(lambda z: info.potential_fn(unravel(z)))
@@ -103,7 +104,7 @@ def mtgp_prof():
     seg_wall = np.asarray(stats["segment_wall_s"])
     seg_leap = np.asarray(stats["segment_leapfrogs"], np.float64)
     warm_ms = 1e3 * seg_wall[1:].sum() / max(seg_leap[1:].sum(), 1)
-    record(probe="mtgp_prof", hlo_ops_potgrad=ops, potgrad_ms=potgrad_ms,
+    record(probe=tag, rank=rank, hlo_ops_potgrad=ops, potgrad_ms=potgrad_ms,
            nuts_total_s=total_s,
            warm_ms_per_leapfrog=float(warm_ms),
            leapfrogs=float(seg_leap.sum()),
@@ -248,6 +249,12 @@ def fused_ab():
         out[f"hlo_ops_{label}"] = ops
     gpax_tpu.set_config(use_fused_likelihood="auto")
     record(**out)
+
+
+def mtgp_prof_rank1():
+    """Reference-default rank (= num_tasks − 1): removes the W-rotation flat
+    direction that drove max-depth trees in the rank-2 config."""
+    mtgp_prof(rank=1, tag="mtgp_prof_rank1")
 
 
 if __name__ == "__main__":

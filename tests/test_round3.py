@@ -191,6 +191,24 @@ def test_mvn_logprob_small_n_matches_dense_and_grads():
     assert abs(float(g) - float(fd)) < 5e-2 * max(1.0, abs(float(fd)))
 
 
+def test_wtw_compensated_accuracy():
+    """Split-f32 WᵀW must be ~f32-accurate (the backward-pass n³ term rides it
+    now); bound the relative error well below single-pass bf16's ~4e-3."""
+    from gpax_tpu.ops.linalg import wtw_compensated
+
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(np.tril(rng.normal(size=(256, 256))), jnp.float32)
+    exact = np.asarray(
+        jnp.matmul(W.T, W, precision=jax.lax.Precision.HIGHEST), np.float64)
+    approx = np.asarray(wtw_compensated(W), np.float64)
+    scale = np.abs(exact).max()
+    assert np.abs(approx - exact).max() / scale < 5e-5
+    # batched form
+    Wb = jnp.stack([W, 2.0 * W])
+    ab = np.asarray(wtw_compensated(Wb))
+    np.testing.assert_allclose(ab[1], 4.0 * ab[0], rtol=1e-5, atol=1e-4)
+
+
 def test_segmented_chains_telemetry():
     """run_nuts_segmented_chains reports per-segment wall/leapfrog telemetry
     (ADVICE r02: the chains variant omitted segment_wall_s)."""
