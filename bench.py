@@ -281,7 +281,12 @@ def bench_mtgp_bo():
     X_lo, X_hi = rng.uniform(0, 2, n_lo), rng.uniform(0, 2, n_hi)
     X = np.concatenate([np.column_stack([X_lo, np.zeros(n_lo)]),
                         np.column_stack([X_hi, np.ones(n_hi)])])
-    y = np.concatenate([f_lo(X_lo), f_hi(X_hi)])
+    # observation noise matters: the r02 bench observed f EXACTLY, so the
+    # per-task noise posterior collapsed onto the jitter floor (log-noise
+    # ≈ −9) where likelihood curvature explodes — step size adapted to 0.0016
+    # and every tree hit the 1023-leapfrog cap (measured; PROFILE_r03).  With
+    # noisy targets the same model runs ~63 leapfrogs/transition at accept 0.8.
+    y = np.concatenate([f_lo(X_lo), f_hi(X_hi)]) + 0.05 * rng.normal(size=n_lo + n_hi)
     key_fit, key_pred = gpax_tpu.utils.get_keys()
     # rank left at the reference default (num_tasks - 1 = 1, gpax/models/
     # mtgp.py:109-110).  The r02 bench forced rank=2 for 2 tasks, which makes

@@ -76,6 +76,10 @@ def _mtgp_setup(rank=2):
                         np.column_stack([X_hi, np.ones(n_hi)])])
     y = np.concatenate([0.8 * np.sin(5 * X_lo) * np.exp(-X_lo),
                         np.sin(5 * X_hi) * np.exp(-X_hi)])
+    # noisy observations: noiseless targets collapse the noise posterior onto
+    # the jitter floor (log-noise ≈ −9, exploding curvature, ε → 0.0016,
+    # max-depth trees) — see bench.py bench_mtgp_bo
+    y = y + 0.05 * np.random.default_rng(7).normal(size=y.shape)
     mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2,
                                 rank=rank)
     X = jnp.asarray(X, jnp.float32)
@@ -249,6 +253,152 @@ def fused_ab():
         out[f"hlo_ops_{label}"] = ops
     gpax_tpu.set_config(use_fused_likelihood="auto")
     record(**out)
+
+
+def bwd_ablate():
+    """Locate the non-matmul cost inside the MVN VJP backward at n=8192."""
+    from gpax_tpu.ops.linalg import wtw_compensated, _mvn_lp_bwd
+    from gpax_tpu.ops.chol import blocked_trtri
+
+    n = 8192
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(n, n)).astype(np.float32)
+    K = jnp.asarray(A @ A.T / n + np.eye(n, dtype=np.float32))
+    diff = jnp.asarray(rng.normal(size=n), jnp.float32)
+    L = jnp.linalg.cholesky(K)
+    W = blocked_trtri(L)
+    alpha = W @ diff
+    reps = 8
+
+    def loop_time(fn, X):
+        @jax.jit
+        def looped(X):
+            def body(i, acc):
+                out = fn(X * (1.0 + 1e-9 * jnp.float32(i)))
+                return acc + jnp.ravel(out)[0]
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        r = looped(X)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = looped(X)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / reps
+
+    out = {"probe": "bwd_ablate", "n": n}
+    g = jnp.float32(1.0)
+    out["bwd_exact_ms"] = loop_time(
+        lambda W: _mvn_lp_bwd((W, alpha, diff.shape), g)[0], W) * 1e3
+    out["wtw_comp_ms"] = loop_time(wtw_compensated, W) * 1e3
+    out["wtw_matmul_hi_ms"] = loop_time(
+        lambda W: jnp.matmul(W.T, W, precision=HI), W) * 1e3
+    out["wtw_dotgen_hi_ms"] = loop_time(
+        lambda W: jax.lax.dot_general(W, W, (((0,), (0,)), ((), ())),
+                                      precision=HI), W) * 1e3
+
+    def assembly(W):
+        Wm = jnp.where(jnp.isfinite(W), W, 0.0)
+        beta = jnp.einsum("ji,j->i", Wm, alpha)
+        bb = jnp.einsum("i,j->ij", beta, beta)
+        return 0.5 * (bb - Wm)  # Wm stands in for Kinv: same-shape traffic
+    out["assembly_no_matmul_ms"] = loop_time(assembly, W) * 1e3
+
+    def beta_only(W):
+        return jnp.einsum("ji,j->i", W, alpha)
+    out["beta_einsum_ms"] = loop_time(beta_only, W) * 1e3
+    record(**out)
+
+
+def fused_ablate():
+    """Break the fused-density op into fwd / bwd at n=8192: the full fused
+    potgrad (160 ms) far exceeds its parts (~60 ms) — find the hidden cost."""
+    from gpax_tpu.ops import fused_density as fd
+    from gpax_tpu.ops.pallas_gram import pallas_gram
+    from gpax_tpu.ops.chol import blocked_trtri
+
+    n = 8192
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), jnp.float32)
+    diff = jnp.asarray(rng.normal(size=n), jnp.float32)
+    kl = jnp.ones(1, jnp.float32)
+    ks = jnp.float32(1.2)
+    ne = jnp.float32(0.1)
+    reps = 4
+
+    def loop_time(fn, A):
+        @jax.jit
+        def looped(A):
+            def body(i, acc):
+                out = fn(A * (1.0 + 1e-9 * jnp.float32(i)))
+                return acc + jnp.ravel(out)[0]
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        r = looped(A)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = looped(A)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / reps
+
+    out = {"probe": "fused_ablate", "n": n}
+    out["fwd_ms"] = loop_time(
+        lambda X: fd._fwd(X, kl, ks, ne, diff, "rbf")[0], X) * 1e3
+    out["factor_ms"] = loop_time(
+        lambda X: fd._factor((ks * pallas_gram(
+            (X / kl).astype(jnp.float32), (X / kl).astype(jnp.float32),
+            jnp.broadcast_to(ne, (n,)), kind="rbf", add_noise=False)
+        ).at[jnp.arange(n), jnp.arange(n)].add(ne))[1], X) * 1e3
+    out["gram_ms"] = loop_time(
+        lambda X: pallas_gram((X / kl).astype(jnp.float32),
+                              (X / kl).astype(jnp.float32),
+                              jnp.broadcast_to(ne, (n,)), kind="rbf",
+                              add_noise=False), X) * 1e3
+
+    # backward with fixed residuals
+    Xs = (X / kl).astype(jnp.float32)
+    m = pallas_gram(Xs, Xs, jnp.broadcast_to(ne, (n,)), kind="rbf",
+                    add_noise=False)
+    K = (ks * m).at[jnp.arange(n), jnp.arange(n)].add(ne)
+    L = jnp.linalg.cholesky(K)
+    W = blocked_trtri(L)
+    alpha = W @ diff
+    res = (Xs, W, alpha, m, kl, ks, ne, diff)
+    out["bwd_ms"] = loop_time(
+        lambda W: fd._bwd("rbf", (Xs, W, alpha, m, kl, ks, ne, diff),
+                          jnp.float32(1.0))[1], W) * 1e3
+    out["vjp_full_ms"] = loop_time(
+        lambda X: jax.value_and_grad(
+            lambda kl_: fd.gp_mvn_log_prob(X, kl_, ks, ne, diff, "rbf"))(
+            kl)[1], X) * 1e3
+    record(**out)
+
+
+def fused_ab_n(n):
+    import gpax_tpu
+    from gpax_tpu.ppl import initialize_model
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), jnp.float32)
+    y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
+    gp = gpax_tpu.ExactGP(1, "RBF")
+    gp.X_train, gp.y_train = X, y
+
+    out = {"probe": "fused_ab", "n": n}
+    reps = max(4, 32768 // n)
+    for mode, label in (("auto", "fused"), ("never", "composed")):
+        gpax_tpu.set_config(use_fused_likelihood=mode)
+        info = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
+        zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
+        pg = jax.value_and_grad(lambda z: info.potential_fn(unravel(z)))
+        out[f"potgrad_{label}_ms"] = loop_time_z(pg, zf, reps) * 1e3
+    gpax_tpu.set_config(use_fused_likelihood="auto")
+    record(**out)
+
+
+def fused_ab_4096():
+    fused_ab_n(4096)
+
+
+def fused_ab_2048():
+    fused_ab_n(2048)
 
 
 def mtgp_prof_rank1():

@@ -60,5 +60,5 @@ def test_notebook_smoke(nb_name):
 
     os.environ["SMOKE"] = "1"
     nb = nbformat.read(os.path.join(_NB_DIR, nb_name), as_version=4)
-    client = NotebookClient(nb, timeout=900, kernel_name="python3")
+    client = NotebookClient(nb, timeout=2400, kernel_name="python3")
     client.execute()
