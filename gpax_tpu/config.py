@@ -55,6 +55,11 @@ class Config:
     # (ops/fused_density.py): 'auto' on TPU for standard RBF/Matérn ExactGP
     # likelihoods, 'always' forces it (CPU tests), 'never' disables.
     use_fused_likelihood: str = "auto"
+    # Precision of the backward-pass K⁻¹ = WᵀW (the dominant n³ term of every
+    # NUTS leapfrog backward, ops/linalg._mvn_lp_bwd): 'compensated' =
+    # split-f32 hi+lo bf16 (3 one-pass MXU matmuls, ~1e-6 rel err),
+    # 'highest' = 6-pass full f32, 'default' = single bf16 pass (~4e-3 err).
+    wtw_precision: str = "compensated"
 
 
 _config = Config()

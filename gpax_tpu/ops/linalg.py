@@ -99,6 +99,15 @@ def wtw_compensated(W: jnp.ndarray) -> jnp.ndarray:
     block costs 42 ms vs 15.6 ms single-pass; this form gets single-pass-class
     speed with ~1e-6 relative error instead of bf16's ~4e-3 — the 'compensated
     backward WᵀW' lever deferred from round 2 (CLAUDE.md)."""
+    from ..config import get_config
+
+    mode = get_config().wtw_precision
+    if mode == "highest":
+        return jnp.matmul(jnp.swapaxes(W, -1, -2), W,
+                          precision=jax.lax.Precision.HIGHEST)
+    if mode == "default":
+        return jnp.matmul(jnp.swapaxes(W, -1, -2), W,
+                          precision=jax.lax.Precision.DEFAULT)
     hi = W.astype(jnp.bfloat16)
     lo = (W - hi.astype(W.dtype)).astype(jnp.bfloat16)
 

@@ -312,8 +312,6 @@ def fused_ablate():
     """Break the fused-density op into fwd / bwd at n=8192: the full fused
     potgrad (160 ms) far exceeds its parts (~60 ms) — find the hidden cost."""
     from gpax_tpu.ops import fused_density as fd
-    from gpax_tpu.ops.pallas_gram import pallas_gram
-    from gpax_tpu.ops.chol import blocked_trtri
 
     n = 8192
     rng = np.random.default_rng(0)
@@ -338,36 +336,24 @@ def fused_ablate():
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / reps
 
+    # DCE-proof measurements only: the forward returns a scalar that depends
+    # on everything; the vjp's k_length cotangent depends on the full dXs
+    # chain.  Big arrays stay ARGUMENTS (a jitted closure over n² constants
+    # overflows the remote-compile request: HTTP 413).
     out = {"probe": "fused_ablate", "n": n}
     out["fwd_ms"] = loop_time(
-        lambda X: fd._fwd(X, kl, ks, ne, diff, "rbf")[0], X) * 1e3
-    out["factor_ms"] = loop_time(
-        lambda X: fd._factor((ks * pallas_gram(
-            (X / kl).astype(jnp.float32), (X / kl).astype(jnp.float32),
-            jnp.broadcast_to(ne, (n,)), kind="rbf", add_noise=False)
-        ).at[jnp.arange(n), jnp.arange(n)].add(ne))[1], X) * 1e3
-    out["gram_ms"] = loop_time(
-        lambda X: pallas_gram((X / kl).astype(jnp.float32),
-                              (X / kl).astype(jnp.float32),
-                              jnp.broadcast_to(ne, (n,)), kind="rbf",
-                              add_noise=False), X) * 1e3
-
-    # backward with fixed residuals
-    Xs = (X / kl).astype(jnp.float32)
-    m = pallas_gram(Xs, Xs, jnp.broadcast_to(ne, (n,)), kind="rbf",
-                    add_noise=False)
-    K = (ks * m).at[jnp.arange(n), jnp.arange(n)].add(ne)
-    L = jnp.linalg.cholesky(K)
-    W = blocked_trtri(L)
-    alpha = W @ diff
-    res = (Xs, W, alpha, m, kl, ks, ne, diff)
-    out["bwd_ms"] = loop_time(
-        lambda W: fd._bwd("rbf", (Xs, W, alpha, m, kl, ks, ne, diff),
-                          jnp.float32(1.0))[1], W) * 1e3
-    out["vjp_full_ms"] = loop_time(
+        lambda X: fd.gp_mvn_log_prob(X, kl, ks, ne, diff, "rbf"), X) * 1e3
+    out["vjp_klength_ms"] = loop_time(
         lambda X: jax.value_and_grad(
             lambda kl_: fd.gp_mvn_log_prob(X, kl_, ks, ne, diff, "rbf"))(
             kl)[1], X) * 1e3
+
+    def vjp_all(X):
+        v, grads = jax.value_and_grad(
+            lambda a: fd.gp_mvn_log_prob(X, a[0], a[1], a[2], diff, "rbf")
+        )(jnp.asarray([1.0, 1.2, 0.1], jnp.float32))
+        return v + grads.sum()
+    out["vjp_all_ms"] = loop_time(vjp_all, X) * 1e3
     record(**out)
 
 
@@ -390,6 +376,32 @@ def fused_ab_n(n):
         pg = jax.value_and_grad(lambda z: info.potential_fn(unravel(z)))
         out[f"potgrad_{label}_ms"] = loop_time_z(pg, zf, reps) * 1e3
     gpax_tpu.set_config(use_fused_likelihood="auto")
+    record(**out)
+
+
+def composed_bwd_ab(n=8192):
+    """Same-process A/B of the three backward-WᵀW modes at the full-potential
+    level (the only DCE-proof measurement on this runtime)."""
+    import gpax_tpu
+    from gpax_tpu.ppl import initialize_model
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), jnp.float32)
+    y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
+    gp = gpax_tpu.ExactGP(1, "RBF")
+    gp.X_train, gp.y_train = X, y
+    gpax_tpu.set_config(use_fused_likelihood="never")
+    out = {"probe": "composed_bwd_ab", "n": n}
+    try:
+        info = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
+        zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
+        for mode in ("compensated", "highest", "default"):
+            gpax_tpu.set_config(wtw_precision=mode)
+            pg = jax.value_and_grad(lambda z: info.potential_fn(unravel(z)))
+            out[f"potgrad_{mode}_ms"] = loop_time_z(pg, zf, 4) * 1e3
+    finally:
+        gpax_tpu.set_config(use_fused_likelihood="auto",
+                            wtw_precision="compensated")
     record(**out)
 
 
