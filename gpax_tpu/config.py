@@ -55,6 +55,12 @@ class Config:
     # (ops/fused_density.py): 'auto' on TPU for standard RBF/Matérn ExactGP
     # likelihoods, 'always' forces it (CPU tests), 'never' disables.
     use_fused_likelihood: str = "auto"
+    # n-aware dispatch for 'auto' (VERDICT r02 #3): same-process potgrad A/B
+    # on chip (PROFILE_r03 fused_ab) — fused 3.94 vs composed 4.03 ms at
+    # n=2048, but composed (with the compensated backward) wins at 4096
+    # (17.5 vs 22.0) and 8192 (109.5 vs 160.6).  The fused op's one-fusion-
+    # scope backward pays off only while op-dispatch floors dominate.
+    fused_likelihood_max_n: int = 2048
     # Precision of the backward-pass K⁻¹ = WᵀW (the dominant n³ term of every
     # NUTS leapfrog backward, ops/linalg._mvn_lp_bwd): 'compensated' =
     # split-f32 hi+lo bf16 (3 one-pass MXU matmuls, ~1e-6 rel err),

@@ -200,7 +200,10 @@ class ExactGP:
             return False
         if cfg.use_fused_likelihood == "always":
             return True
-        return jax.default_backend() in ("tpu", "axon")
+        # measured crossover: composed + compensated backward wins above ~2k
+        # (see Config.fused_likelihood_max_n)
+        return (jax.default_backend() in ("tpu", "axon")
+                and X.shape[0] <= cfg.fused_likelihood_max_n)
 
     def _sample_noise(self) -> jnp.ndarray:
         noise_dist = self.noise_prior_dist
