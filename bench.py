@@ -156,8 +156,11 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
         # steady-state number the compile cache gives every later fit
         warm_s = float(seg_wall[1:].sum())
         warm_leap = float(seg_leap[1:].sum())
-        extra["est_compile_s"] = max(
-            float(seg_wall[0] - np.median(seg_wall[1:])), 0.0)
+        # everything outside warm segments is compile/setup: segment 1's
+        # seg_scan compile AND the pre-segment jits (find_reasonable_step_size,
+        # the standalone potential+grad) — measured ~560 s cache-cold through
+        # the tunnel at n=4096, ~0 warm
+        extra["est_compile_s"] = max(fit_s - warm_s, 0.0)
         extra["warm_fit_s"] = warm_s
         extra["leapfrogs_per_s_warm"] = warm_leap / max(warm_s, 1e-9)
         extra["est_tflops_per_s_warm"] = \
