@@ -48,13 +48,15 @@ def da_update(state: DualAveragingState, accept_prob: jnp.ndarray,
 
 class WelfordState(NamedTuple):
     mean: jnp.ndarray
-    m2: jnp.ndarray
+    m2: jnp.ndarray              # (dim,) diagonal or (dim, dim) full second moment
     count: jnp.ndarray
 
 
-def welford_init(dim: int, dtype=jnp.float32) -> WelfordState:
+def welford_init(dim: int, dtype=jnp.float32, dense: bool = False) -> WelfordState:
+    m2_shape = (dim, dim) if dense else (dim,)
     return WelfordState(
-        mean=jnp.zeros((dim,), dtype), m2=jnp.zeros((dim,), dtype), count=jnp.zeros((), dtype)
+        mean=jnp.zeros((dim,), dtype), m2=jnp.zeros(m2_shape, dtype),
+        count=jnp.zeros((), dtype),
     )
 
 
@@ -62,17 +64,42 @@ def welford_update(state: WelfordState, x: jnp.ndarray) -> WelfordState:
     count = state.count + 1.0
     delta = x - state.mean
     mean = state.mean + delta / count
-    m2 = state.m2 + delta * (x - mean)
+    if state.m2.ndim == state.mean.ndim + 1:  # dense: rank-1 outer update
+        m2 = state.m2 + delta[..., :, None] * (x - mean)[..., None, :]
+    else:
+        m2 = state.m2 + delta * (x - mean)
     return WelfordState(mean, m2, count)
 
 
 def welford_variance(state: WelfordState, regularize: bool = True) -> jnp.ndarray:
-    var = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+    """Posterior (co)variance estimate = the next window's inverse mass matrix.
+    Returns (dim,) for diagonal accumulators, (dim, dim) for dense ones."""
+    n = state.count
+    if state.m2.ndim == state.mean.ndim + 1:
+        cov = state.m2 / jnp.maximum(n - 1.0, 1.0)
+        dim = state.mean.shape[-1]
+        eye = jnp.eye(dim, dtype=state.m2.dtype)
+        if regularize:
+            # Stan's shrinkage toward (scaled) identity keeps the estimate PD
+            # with few samples — required: sample_momentum factorizes it
+            cov = (n / (n + 5.0)) * cov + 1e-3 * (5.0 / (n + 5.0)) * eye
+        return cov + 1e-10 * eye
+    var = state.m2 / jnp.maximum(n - 1.0, 1.0)
     if regularize:
         # Stan's shrinkage toward unit variance for stability with few samples
-        n = state.count
         var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
     return jnp.maximum(var, 1e-10)
+
+
+def mass_velocity(inv_mass: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """v = Σ·r (velocity from momentum; Σ = inverse mass = posterior-cov estimate).
+
+    ``inv_mass`` is (dim,) for a diagonal metric or (dim, dim) dense (symmetric);
+    ``r`` may carry leading batch axes — (dim,) or (rows, dim) — in both cases.
+    """
+    if inv_mass.ndim == 2:
+        return r @ inv_mass          # symmetric Σ: r·Σ == Σ·r row-wise
+    return inv_mass * r
 
 
 def leapfrog(potential_grad: Callable, z: jnp.ndarray, r: jnp.ndarray,
@@ -83,18 +110,24 @@ def leapfrog(potential_grad: Callable, z: jnp.ndarray, r: jnp.ndarray,
     Returns (z_new, r_new, potential_new, grad_new); caller threads the cached grad.
     """
     r_half = r - 0.5 * step_size * grad
-    z_new = z + step_size * inv_mass * r_half
+    z_new = z + step_size * mass_velocity(inv_mass, r_half)
     u_new, grad_new = potential_grad(z_new)
     r_new = r_half - 0.5 * step_size * grad_new
     return z_new, r_new, u_new, grad_new
 
 
 def kinetic_energy(r: jnp.ndarray, inv_mass: jnp.ndarray) -> jnp.ndarray:
-    return 0.5 * jnp.sum(inv_mass * r * r)
+    return 0.5 * jnp.sum(r * mass_velocity(inv_mass, r))
 
 
 def sample_momentum(key, inv_mass: jnp.ndarray) -> jnp.ndarray:
-    # r ~ N(0, M) with M = 1/inv_mass (diagonal metric)
+    # r ~ N(0, M) with M = Σ⁻¹ (Σ = inv_mass, the posterior-cov estimate)
+    if inv_mass.ndim == 2:
+        # Σ = LLᵀ  ⇒  r = L⁻ᵀξ has cov L⁻ᵀL⁻¹ = Σ⁻¹ (dim is tiny for the
+        # hyperparameter posteriors dense mass targets; one small chol per draw)
+        xi = jax.random.normal(key, inv_mass.shape[-1:], dtype=inv_mass.dtype)
+        L = jnp.linalg.cholesky(inv_mass)
+        return jax.scipy.linalg.solve_triangular(L, xi, lower=True, trans=1)
     return jax.random.normal(key, inv_mass.shape, dtype=inv_mass.dtype) / jnp.sqrt(inv_mass)
 
 

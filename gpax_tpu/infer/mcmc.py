@@ -66,6 +66,7 @@ class MCMC:
                 max_tree_depth=self.kernel.max_tree_depth,
                 target_accept_prob=self.kernel.target_accept_prob,
                 init_step_size=self.kernel.step_size,
+                dense_mass=self.kernel.dense_mass,
             )
             return zs, stats
 
@@ -91,6 +92,7 @@ class MCMC:
                 max_tree_depth=self.kernel.max_tree_depth,
                 target_accept_prob=self.kernel.target_accept_prob,
                 init_step_size=self.kernel.step_size,
+                dense_mass=self.kernel.dense_mass,
                 progress=self.progress_bar,
             )
             zs = zs_1[None]
@@ -118,6 +120,7 @@ class MCMC:
                         max_tree_depth=self.kernel.max_tree_depth,
                         target_accept_prob=self.kernel.target_accept_prob,
                         init_step_size=self.kernel.step_size,
+                        dense_mass=self.kernel.dense_mass,
                         progress=self.progress_bar,
                     )
                     stats_c = {k: v for k, v in stats_c.items()
@@ -151,6 +154,7 @@ class MCMC:
                 max_tree_depth=self.kernel.max_tree_depth,
                 target_accept_prob=self.kernel.target_accept_prob,
                 init_step_size=self.kernel.step_size,
+                dense_mass=self.kernel.dense_mass,
                 progress=self.progress_bar,
                 shard_put=shard_put,
             )

@@ -37,6 +37,7 @@ from .hmc_util import (
     find_reasonable_step_size,
     kinetic_energy,
     leapfrog,
+    mass_velocity,
     sample_momentum,
     warmup_schedule,
     welford_init,
@@ -63,8 +64,8 @@ class NUTSState(NamedTuple):
 
 def _is_turning(inv_mass, r_left, r_right, r_sum):
     """Generalized U-turn criterion (Betancourt 2017, App. A.4.2)."""
-    v_left = inv_mass * r_left
-    v_right = inv_mass * r_right
+    v_left = mass_velocity(inv_mass, r_left)
+    v_right = mass_velocity(inv_mass, r_right)
     rho = r_sum - 0.5 * (r_left + r_right)
     return (jnp.dot(v_left, rho) <= 0) | (jnp.dot(v_right, rho) <= 0)
 
@@ -136,8 +137,8 @@ def _build_subtree(potential_grad, depth, z0, r0, grad0, u0, eps_signed, inv_mas
         in_range = (slots >= slot - t + 1) & (slots <= slot) & ~is_even
         r_a = CK[:, :dim]
         rho = (r_sum_new - CK[:, dim:]) - 0.5 * (r_a + r1)
-        turn_all = (jnp.sum(inv_mass * r_a * rho, -1) <= 0) | (
-            jnp.sum((inv_mass * r1) * rho, -1) <= 0)
+        turn_all = (jnp.sum(mass_velocity(inv_mass, r_a) * rho, -1) <= 0) | (
+            jnp.sum(mass_velocity(inv_mass, r1) * rho, -1) <= 0)
         turning = turning | jnp.any(turn_all & in_range)
 
         return V, S, n + 1, turning, div1, k, CK
@@ -249,13 +250,18 @@ class NUTS:
     def __init__(self, model, step_size: float = 1.0, max_tree_depth: int = 10,
                  target_accept_prob: float = 0.8, init_strategy: str = "median",
                  dense_mass: bool = False):
-        if dense_mass:
-            raise NotImplementedError("diagonal mass matrix only (gpax never uses dense)")
         self.model = model
         self.step_size = step_size
         self.max_tree_depth = max_tree_depth
         self.target_accept_prob = target_accept_prob
         self.init_strategy = init_strategy
+        # dense_mass: adapt a FULL covariance metric (Welford outer products on
+        # Stan's window schedule).  The right metric for small-dim correlated
+        # hyperparameter posteriors — e.g. the multitask ICM's (W, v) soft
+        # direction (w₁w₂ pinned by B₁₂, the ratio compensated by task noises)
+        # that a diagonal metric cannot unit-scale, measured ~800 leapfrogs/
+        # transition diagonal vs tens dense on MultiTaskGP (PROFILE_r03.jsonl).
+        self.dense_mass = dense_mass
 
 
 def run_nuts(
@@ -268,6 +274,7 @@ def run_nuts(
     target_accept_prob: float = 0.8,
     init_step_size: float = 1.0,
     collect_warmup: bool = False,
+    dense_mass: bool = False,
 ):
     """Warmup + sampling for ONE chain over a pytree of unconstrained latents.
 
@@ -283,7 +290,7 @@ def run_nuts(
 
     potential_grad = jax.value_and_grad(pot_flat)
 
-    inv_mass0 = jnp.ones((dim,), dtype)
+    inv_mass0 = jnp.eye(dim, dtype=dtype) if dense_mass else jnp.ones((dim,), dtype)
     k_eps, k_run = jax.random.split(rng_key)
     eps0 = find_reasonable_step_size(potential_grad, z0_flat, inv_mass0, k_eps, init_step_size)
 
@@ -298,11 +305,11 @@ def run_nuts(
     xs = _warmup_xs(num_warmup, num_samples)
     step_fn = _make_step_fn(
         potential_grad, max_tree_depth, target_accept_prob, eps0,
-        num_warmup, dim, dtype,
+        num_warmup, dim, dtype, dense_mass=dense_mass,
     )
 
     da0 = da_init(eps0)
-    wf0 = welford_init(dim, dtype)
+    wf0 = welford_init(dim, dtype, dense=dense_mass)
     (state, da, _), (zs, stats) = jax.lax.scan(
         step_fn, (state0, da0, wf0), xs, length=num_warmup + num_samples,
     )
@@ -324,7 +331,7 @@ def _warmup_xs(num_warmup: int, num_samples: int):
 
 
 def _make_step_fn(potential_grad, max_tree_depth, target_accept_prob, eps0,
-                  num_warmup, dim, dtype):
+                  num_warmup, dim, dtype, dense_mass: bool = False):
     """One NUTS transition + adaptation bookkeeping, shaped for lax.scan.
     The (expensive) nuts_step traces exactly once per compiled program."""
 
@@ -354,7 +361,7 @@ def _make_step_fn(potential_grad, max_tree_depth, target_accept_prob, eps0,
             return (
                 state._replace(inv_mass=inv_mass),
                 da_init(jnp.exp(da.log_step)),
-                welford_init(dim, dtype),
+                welford_init(dim, dtype, dense=dense_mass),
             )
 
         state, da, wf = jax.lax.cond(win_end, end_window, lambda a: a, (state, da, wf))
@@ -381,6 +388,7 @@ def run_nuts_segmented(
     target_accept_prob: float = 0.8,
     init_step_size: float = 1.0,
     progress: bool = False,
+    dense_mass: bool = False,
 ):
     """Warmup + sampling executed in Python-driven segments of ``segment_size``
     NUTS transitions, carrying (state, adaptation) between device calls.
@@ -401,7 +409,7 @@ def run_nuts_segmented(
 
     potential_grad = jax.value_and_grad(pot_flat)
 
-    inv_mass0 = jnp.ones((dim,), dtype)
+    inv_mass0 = jnp.eye(dim, dtype=dtype) if dense_mass else jnp.ones((dim,), dtype)
     k_eps, k_run = jax.random.split(rng_key)
     eps0 = jax.jit(
         lambda k: find_reasonable_step_size(potential_grad, z0_flat, inv_mass0, k, init_step_size)
@@ -416,7 +424,7 @@ def run_nuts_segmented(
 
     step_fn = _make_step_fn(
         potential_grad, max_tree_depth, target_accept_prob, eps0,
-        num_warmup, dim, dtype,
+        num_warmup, dim, dtype, dense_mass=dense_mass,
     )
     seg_scan = jax.jit(
         lambda carry, xs: jax.lax.scan(step_fn, carry, xs, length=segment_size)
@@ -427,7 +435,7 @@ def run_nuts_segmented(
     xs_np = [onp.asarray(x) for x in _warmup_xs(num_warmup, num_samples)]
     xs_np = [onp.concatenate([x, onp.zeros(pad, bool)]) for x in xs_np]
 
-    carry = (state0, da_init(eps0), welford_init(dim, dtype))
+    carry = (state0, da_init(eps0), welford_init(dim, dtype, dense=dense_mass))
     zs_parts, stats_parts, seg_wall = [], [], []
     n_segments = (total + pad) // segment_size
     import time as _time
@@ -474,6 +482,7 @@ def run_nuts_segmented_chains(
     init_step_size: float = 1.0,
     progress: bool = False,
     shard_put=None,
+    dense_mass: bool = False,
 ):
     """Vectorized (lockstep-vmapped) chains with bounded device segments.
 
@@ -502,7 +511,7 @@ def run_nuts_segmented_chains(
 
     potential_grad = jax.value_and_grad(pot_flat)
 
-    inv_mass0 = jnp.ones((dim,), dtype)
+    inv_mass0 = jnp.eye(dim, dtype=dtype) if dense_mass else jnp.ones((dim,), dtype)
     k_eps, k_run = jax.random.split(rng_key)
     eps_keys = jax.random.split(k_eps, num_chains)
     run_keys = jax.random.split(k_run, num_chains)
@@ -513,7 +522,7 @@ def run_nuts_segmented_chains(
     u0, g0 = jax.jit(jax.vmap(potential_grad))(z0_flat)
     state0 = NUTSState(
         z=z0_flat, potential=u0, grad=g0, step_size=eps0,
-        inv_mass=jnp.broadcast_to(inv_mass0, (num_chains, dim)),
+        inv_mass=jnp.broadcast_to(inv_mass0, (num_chains,) + inv_mass0.shape),
         rng_key=run_keys,
         accept_prob=jnp.zeros((num_chains,), dtype),
         num_steps=jnp.zeros((num_chains,), jnp.int32),
@@ -524,7 +533,7 @@ def run_nuts_segmented_chains(
     def make_chain_step(eps0_c):
         return _make_step_fn(
             potential_grad, max_tree_depth, target_accept_prob, eps0_c,
-            num_warmup, dim, dtype,
+            num_warmup, dim, dtype, dense_mass=dense_mass,
         )
 
     def step_vm(carry, xs):
@@ -545,7 +554,8 @@ def run_nuts_segmented_chains(
     xs_np = [onp.concatenate([x, onp.zeros(pad, bool)]) for x in xs_np]
 
     da0 = jax.vmap(da_init)(eps0)
-    wf0 = jax.vmap(lambda _: welford_init(dim, dtype))(jnp.arange(num_chains))
+    wf0 = jax.vmap(lambda _: welford_init(dim, dtype, dense=dense_mass))(
+        jnp.arange(num_chains))
     carry = (state0, da0, wf0)
     if shard_put is not None:
         carry = shard_put(carry)

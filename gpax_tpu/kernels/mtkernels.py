@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import jax
 import jax.numpy as jnp
 from jax import vmap
 
@@ -37,7 +38,9 @@ def index_kernel(indices1: jnp.ndarray, indices2: jnp.ndarray,
     """
     W = params["W"]
     v = params["v"]
-    B = jnp.dot(W, W.T, preferred_element_type=W.dtype) + jnp.diag(v)
+    # f32 rule 1 (CLAUDE.md): default-precision TPU matmul truncates W to bf16,
+    # quantizing the likelihood surface in W — poison for NUTS step adaptation.
+    B = jnp.dot(W, W.T, precision=jax.lax.Precision.HIGHEST) + jnp.diag(v)
     return B[jnp.ix_(indices1, indices2)]
 
 

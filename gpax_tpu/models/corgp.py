@@ -21,7 +21,8 @@ from .gp import ExactGP
 class CoregGP(ExactGP):
     """Simple coregionalized multi-task GP."""
 
-    _exact_moments_ok = False  # per-task noise vector
+    _exact_moments_ok = False
+    _default_dense_mass = True  # correlated ICM (W, v) posterior: see ExactGP._default_dense_mass
 
     def __init__(self, input_dim: int, data_kernel="RBF",
                  mean_fn: Optional[Callable] = None,

@@ -41,11 +41,11 @@ def get_mlp(architecture: List[int]) -> Callable:
         h = X
         for i in range(len(architecture)):
             h = jnp.tanh(
-                jnp.dot(h, params[f"w{i}"], preferred_element_type=h.dtype)
+                jnp.dot(h, params[f"w{i}"], precision=jax.lax.Precision.HIGHEST)
                 + params[f"b{i}"]
             )
         return (
-            jnp.dot(h, params[f"w{len(architecture)}"], preferred_element_type=h.dtype)
+            jnp.dot(h, params[f"w{len(architecture)}"], precision=jax.lax.Precision.HIGHEST)
             + params[f"b{len(architecture)}"]
         )
 

@@ -79,6 +79,12 @@ class ExactGP:
     """
 
     _exact_moments_ok = True
+    # default NUTS metric: diagonal.  Multitask subclasses flip this — their
+    # ICM mixing parameters (W, v) have an intrinsically correlated posterior
+    # (B12 pins w1*w2; the w1/w2 ratio is compensated by the task noises) that
+    # a diagonal metric cannot unit-scale; measured ~800 leapfrogs/transition
+    # diagonal vs tens dense (PROFILE_r03.jsonl mtgp entries).
+    _default_dense_mass = False
     # instance arrays that jitted prediction programs bake in as constants —
     # the _cached_program guard re-traces when any of their identities change
     _traced_constants = ("X_train", "y_train")
@@ -246,6 +252,7 @@ class ExactGP:
         device=None,
         pad_to_multiple: Optional[int] = None,
         segment_size: Optional[int] = None,
+        dense_mass: Optional[bool] = None,
         **kwargs,
     ) -> None:
         """Run NUTS over the GP hyperparameters.
@@ -258,6 +265,11 @@ class ExactGP:
         Active-learning loops that add one point per iteration then reuse ONE
         compiled NUTS program per bucket instead of recompiling every step.
         Prediction always uses the unpadded data.
+
+        ``dense_mass``: adapt a full covariance metric instead of a diagonal
+        one (cheap: the hyperparameter dim is tiny).  ``None`` takes the
+        class default — True for the multitask models, whose ICM mixing
+        parameters have intrinsically correlated posteriors (see infer.NUTS).
         """
         X, y = self._set_data(X, y)
         if device:
@@ -299,8 +311,10 @@ class ExactGP:
                 num_warmup + num_samples,
                 cost_mult=num_chains if lockstep else 1)
 
+        if dense_mass is None:
+            dense_mass = self._default_dense_mass
         self.mcmc = MCMC(
-            NUTS(self.model, init_strategy="median"),
+            NUTS(self.model, init_strategy="median", dense_mass=dense_mass),
             num_warmup=num_warmup,
             num_samples=num_samples,
             num_chains=num_chains,

@@ -30,7 +30,7 @@ class LinReg:
         )
         alpha = ppl.sample("alpha", dist.Normal(0.0, 10.0))
         sigma = ppl.sample("sigma", dist.HalfCauchy(1.0))
-        mu = alpha + jnp.dot(x, beta)
+        mu = alpha + jnp.dot(x, beta, precision=jax.lax.Precision.HIGHEST)
         with ppl.plate("data", x.shape[0]):
             ppl.sample("obs", dist.Normal(mu, sigma), obs=y)
 
@@ -41,7 +41,7 @@ class LinReg:
         self.params = guide.median(result.params)
 
     def predict(self, x_new):
-        return self.params["alpha"] + jnp.dot(x_new, self.params["beta"])
+        return self.params["alpha"] + jnp.dot(x_new, self.params["beta"], precision=jax.lax.Precision.HIGHEST)
 
     def get_params(self):
         return self.params

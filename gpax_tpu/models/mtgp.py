@@ -24,7 +24,8 @@ from .gp import ExactGP
 class MultiTaskGP(ExactGP):
     """HMC multi-task GP over an LCM kernel."""
 
-    _exact_moments_ok = False  # per-task noise vector
+    _exact_moments_ok = False
+    _default_dense_mass = True  # correlated ICM (W, v) posterior: see ExactGP._default_dense_mass
 
     def __init__(self, input_dim: int, data_kernel="RBF",
                  num_latents: Optional[int] = None, shared_input_space: bool = False,

@@ -215,3 +215,51 @@ def test_vectorized_chains_segmented():
     m0 = float(np.mean(np.asarray(by_chain["noise"][0])))
     m1 = float(np.mean(np.asarray(by_chain["noise"][1])))
     assert abs(m0 - m1) < 0.2, (m0, m1)
+
+
+def test_dense_mass_correlated_gaussian():
+    """A full-covariance metric unit-scales a strongly correlated Gaussian:
+    posterior recovery AND far fewer leapfrogs than the diagonal metric.
+    Parity surface: numpyro's NUTS(dense_mass=True) as used by gpax callers."""
+    rho = 0.99
+    cov = jnp.asarray([[1.0, rho], [rho, 1.0]])
+
+    def model():
+        ppl.sample("x", dist.MultivariateNormal(jnp.zeros(2), covariance_matrix=cov))
+
+    leaps = {}
+    for dense in (False, True):
+        mcmc = MCMC(NUTS(model, dense_mass=dense), num_warmup=500, num_samples=1000)
+        mcmc.run(jax.random.PRNGKey(3))
+        ef = mcmc.get_extra_fields()
+        leaps[dense] = float(np.asarray(ef["num_steps"]).sum())
+        if dense:
+            x = np.asarray(mcmc.get_samples()["x"])
+            emp = np.cov(x.T)
+            np.testing.assert_allclose(emp, np.asarray(cov), atol=0.15)
+    # at rho=0.99 the diagonal metric needs much longer trajectories
+    assert leaps[True] < 0.5 * leaps[False], leaps
+
+
+def test_dense_mass_segmented_chains():
+    """dense_mass through the lockstep-vmapped segmented chains path:
+    (chains, dim, dim) inverse-mass carries work and match the posterior."""
+    from gpax_tpu.infer.nuts import run_nuts_segmented_chains
+
+    cov = jnp.asarray([[1.0, 0.9], [0.9, 1.0]])
+
+    def model():
+        ppl.sample("x", dist.MultivariateNormal(jnp.zeros(2), covariance_matrix=cov))
+
+    from gpax_tpu.ppl.util import initialize_model
+    info = initialize_model(model, jax.random.PRNGKey(0))
+    z0s = jax.tree_util.tree_map(
+        lambda v: jnp.broadcast_to(v, (2,) + jnp.shape(v)), info.init_unconstrained)
+    zs, stats, _ = run_nuts_segmented_chains(
+        info.potential_fn, z0s, jax.random.PRNGKey(4), num_chains=2,
+        num_warmup=200, num_samples=400, segment_size=100, dense_mass=True)
+    _, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
+    constrain = lambda z_flat: info.constrain_fn(unravel(z_flat))  # noqa: E731
+    x = np.asarray(jax.vmap(jax.vmap(constrain))(zs)["x"]).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(x.T), np.asarray(cov), atol=0.2)
+    assert np.isfinite(x).all()
