@@ -98,7 +98,10 @@ def mass_velocity(inv_mass: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     ``r`` may carry leading batch axes — (dim,) or (rows, dim) — in both cases.
     """
     if inv_mass.ndim == 2:
-        return r @ inv_mass          # symmetric Σ: r·Σ == Σ·r row-wise
+        # HIGHEST: a bf16 product here quantizes the integrator's velocity
+        # field (f32 rule 1, CLAUDE.md) — dim is tiny, the cost is nil
+        return jnp.matmul(r, inv_mass,
+                          precision=jax.lax.Precision.HIGHEST)  # symmetric Σ: r·Σ == Σ·r
     return inv_mass * r
 
 

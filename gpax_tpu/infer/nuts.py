@@ -67,7 +67,11 @@ def _is_turning(inv_mass, r_left, r_right, r_sum):
     v_left = mass_velocity(inv_mass, r_left)
     v_right = mass_velocity(inv_mass, r_right)
     rho = r_sum - 0.5 * (r_left + r_right)
-    return (jnp.dot(v_left, rho) <= 0) | (jnp.dot(v_right, rho) <= 0)
+    # HIGHEST: the stop decision is a sign test of a near-zero-crossing dot —
+    # bf16 truncation here perturbs trajectory lengths (f32 rule 1, CLAUDE.md)
+    hi = jax.lax.Precision.HIGHEST
+    return (jnp.dot(v_left, rho, precision=hi) <= 0) | (
+        jnp.dot(v_right, rho, precision=hi) <= 0)
 
 
 def _trailing_ones(n):
