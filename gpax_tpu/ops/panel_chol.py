@@ -1,0 +1,278 @@
+"""Single-kernel panel Cholesky and triangular inverse (Pallas/Mosaic).
+
+Why: the O(n³) factorization inside every NUTS leapfrog is latency- not
+compute-bound on this runtime.  XLA's Cholesky/TriangularSolve expanders and
+the recursive blocked formulations (ops/chol.py) both execute as *hundreds* of
+sequential HLO ops (diagonal-tile calls, TRSM matmuls, block concatenations),
+each bearing a dispatch floor.  Loop-probe at n=8192: XLA forward Cholesky
+~11 ms and blocked_trtri ~15 ms for ~0.2/0.6 TFLOP of useful work — single-
+digit percent of MXU peak.
+
+Here the whole left-looking panel algorithm is ONE ``pallas_call``:
+
+  * grid = (n/PB,) sequential over block columns (PB = 128);
+  * all O(n³) work is (n×PB)@(PB×PB) MXU matmuls at HIGHEST precision
+    (CLAUDE.md f32 rule 1);
+  * panels stream HBM→VMEM via async DMA (the input/output matrices live in
+    ``ANY`` memory space; VMEM holds only two n×PB working panels);
+  * the PB×PB diagonal-tile factorization/inversion runs as value-level
+    ``fori_loop`` substitution inside the kernel (the ops/chol.py leaf
+    algorithm, shared here), so no op boundary is crossed anywhere.
+
+``panel_tri_inv`` produces Wᵀ = L⁻ᵀ *transposed* so every buffer in both
+kernels is a column panel; the caller transposes (XLA fuses the transpose
+into consumers).
+
+Parity anchor: replaces ``jnp.linalg.cholesky`` + ``blocked_trtri`` inside
+ops.linalg.chol_tri_factors (the per-leapfrog factor path behind the
+reference's ``gpax/models/gp.py:160-164`` numpyro MVN likelihood).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PB = 128  # panel width: one MXU/lane tile
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Value-level PB×PB tile algorithms (shared with the ops/chol.py leaf kernels)
+# ---------------------------------------------------------------------------
+
+def _chol_tile_value(D):
+    """Unblocked right-looking Cholesky of one (B, B) SPD tile, as a value
+    computation (usable inside any kernel).  NaN-propagating on indefinite
+    input, like jnp.linalg.cholesky."""
+    B = D.shape[0]
+    dt = D.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+
+    def chol_step(j, carry):
+        A, L = carry
+        col_j = jnp.sum(jnp.where(col == j, A, 0.0), axis=1, keepdims=True)
+        d2 = jnp.sum(jnp.where(rowv == j, col_j, 0.0))
+        inv_d = jax.lax.rsqrt(d2)
+        l_j = jnp.where(rowv >= j, col_j * inv_d, jnp.zeros((), dt))
+        A = A - l_j * l_j.reshape(1, B)
+        L = jnp.where(col == j, l_j, L)
+        return A, L
+
+    zero = jnp.zeros((B, B), dt)
+    _, L = jax.lax.fori_loop(0, B, chol_step, (D, zero))
+    return L
+
+
+def _tri_inv_tile_value(L):
+    """W = L⁻¹ of one (B, B) lower-triangular tile by forward substitution,
+    as a value computation."""
+    B = L.shape[0]
+    dt = L.dtype
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    colr = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+    def inv_step(i, W):
+        l_row = jnp.sum(jnp.where(row == i, L, 0.0), axis=0, keepdims=True)
+        l_ii = jnp.sum(jnp.where((row == i) & (col == i), L, 0.0))
+        strict = jnp.where(colr < i, l_row, jnp.zeros((), dt))
+        acc = jax.lax.dot_general(strict, W, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=dt)
+        e_i = jnp.where(colr == i, jnp.ones((), dt), jnp.zeros((), dt))
+        w_row = (e_i - acc) / l_ii
+        return jnp.where(row == i, w_row, W)
+
+    return jax.lax.fori_loop(0, B, inv_step, jnp.zeros((B, B), dt))
+
+
+def _mmT(a, b):
+    """a @ bᵀ on the MXU at HIGHEST precision (both operands column panels)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        precision=_HI, preferred_element_type=a.dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: left-looking panel Cholesky
+# ---------------------------------------------------------------------------
+
+def _panel_chol_kernel(k_hbm, l_hbm, p_buf, q_buf, sem_a, sem_q, sem_w):
+    j = pl.program_id(0)
+    n = k_hbm.shape[0]
+    dt = p_buf.dtype
+
+    # load column panel j of K
+    cp = pltpu.make_async_copy(k_hbm.at[:, pl.ds(j * PB, PB)], p_buf, sem_a)
+    cp.start()
+    cp.wait()
+
+    # left-looking Schur update: P -= Σ_{i<j} L[:, i] · L[j, i]ᵀ
+    def body(i, _):
+        cq = pltpu.make_async_copy(l_hbm.at[:, pl.ds(i * PB, PB)], q_buf, sem_q)
+        cq.start()
+        cq.wait()
+        lji = q_buf[pl.ds(j * PB, PB), :]          # (PB, PB) block-row j of panel i
+        p_buf[:] = p_buf[:] - _mmT(q_buf[:], lji)
+        return 0
+
+    jax.lax.fori_loop(0, j, body, 0, unroll=False)
+
+    # factor the diagonal tile, invert the factor
+    d_tile = p_buf[pl.ds(j * PB, PB), :]
+    l_d = _chol_tile_value(d_tile)
+    w_d = _tri_inv_tile_value(l_d)
+
+    # panel TRSM: rows below the diagonal tile become M·W_Dᵀ; rows above → 0;
+    # the diagonal tile gets the exact L_D (in-loop value, not D·W_Dᵀ).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, PB), 0)
+    t = _mmT(p_buf[:], w_d)
+    p_buf[:] = jnp.where(rows >= j * PB, t, jnp.zeros((), dt))
+    p_buf[pl.ds(j * PB, PB), :] = l_d
+
+    cw = pltpu.make_async_copy(p_buf, l_hbm.at[:, pl.ds(j * PB, PB)], sem_w)
+    cw.start()
+    cw.wait()
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: left-looking (row-block) triangular inverse, transposed output
+# ---------------------------------------------------------------------------
+
+def _panel_tri_inv_kernel(l_hbm, wt_hbm, acc_buf, qw_buf, tile_buf,
+                          sem_t, sem_q, sem_w):
+    j = pl.program_id(0)
+    dt = acc_buf.dtype
+
+    # invert the diagonal tile of L
+    ct = pltpu.make_async_copy(
+        l_hbm.at[pl.ds(j * PB, PB), pl.ds(j * PB, PB)], tile_buf, sem_t)
+    ct.start()
+    ct.wait()
+    w_d = _tri_inv_tile_value(tile_buf[:])
+
+    # accᵀ = Σ_{i<j} Wᵀ[:, i] · L[j, i]ᵀ   (the row-recurrence L[j,:j]·W[:j,:],
+    # kept transposed so every buffer is a column panel)
+    acc_buf[:] = jnp.zeros_like(acc_buf)
+
+    def body(i, _):
+        cq = pltpu.make_async_copy(wt_hbm.at[:, pl.ds(i * PB, PB)], qw_buf, sem_q)
+        cq.start()
+        ct2 = pltpu.make_async_copy(
+            l_hbm.at[pl.ds(j * PB, PB), pl.ds(i * PB, PB)], tile_buf, sem_t)
+        ct2.start()
+        cq.wait()
+        ct2.wait()
+        acc_buf[:] = acc_buf[:] + _mmT(qw_buf[:], tile_buf[:])
+        return 0
+
+    jax.lax.fori_loop(0, j, body, 0, unroll=False)
+
+    # Wᵀ[:, j] = (E_jᵀ − accᵀ) · W_Dᵀ; accᵀ rows ≥ j·PB are exactly zero
+    # (strict lower-triangularity of W), so only the diagonal block needs E_j.
+    acc_buf[:] = -_mmT(acc_buf[:], w_d)
+    wdt = jax.lax.transpose(w_d, (1, 0))
+    acc_buf[pl.ds(j * PB, PB), :] = wdt
+
+    cw = pltpu.make_async_copy(acc_buf, wt_hbm.at[:, pl.ds(j * PB, PB)], sem_w)
+    cw.start()
+    cw.wait()
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _pad_spd(K, n_pad):
+    n = K.shape[-1]
+    if n_pad == n:
+        return K
+    Kp = jnp.pad(K, ((0, n_pad - n), (0, n_pad - n)))
+    idx = jnp.arange(n, n_pad)
+    return Kp.at[idx, idx].set(jnp.ones((), K.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def panel_cholesky(K: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Lower Cholesky factor of an SPD matrix — the whole blocked left-looking
+    factorization in ONE kernel launch.  NaN-propagating on indefinite input
+    (composes with ops.linalg.safe_cholesky's jitter escalation).  Batched
+    inputs are vmapped."""
+    if K.ndim > 2:
+        return jax.vmap(lambda k: panel_cholesky(k, interpret))(K)
+    n = K.shape[-1]
+    n_pad = -(-n // PB) * PB
+    Kp = _pad_spd(K, n_pad)
+    grid = n_pad // PB
+    L = pl.pallas_call(
+        _panel_chol_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(Kp.shape, Kp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, PB), Kp.dtype),
+            pltpu.VMEM((n_pad, PB), Kp.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad ** 3,
+            bytes_accessed=(grid * (grid + 3)) * n_pad * PB * Kp.dtype.itemsize,
+            transcendentals=n_pad,
+        ),
+        interpret=interpret,
+    )(Kp)
+    return L[:n, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def panel_tri_inv_t(L: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Wᵀ = L⁻ᵀ (UPPER-triangular) of a lower-triangular factor, one kernel
+    launch.  Callers wanting W = L⁻¹ transpose the result (fused by XLA)."""
+    if L.ndim > 2:
+        return jax.vmap(lambda l: panel_tri_inv_t(l, interpret))(L)
+    n = L.shape[-1]
+    n_pad = -(-n // PB) * PB
+    if n_pad != n:
+        Lp = jnp.pad(L, ((0, n_pad - n), (0, n_pad - n)))
+        idx = jnp.arange(n, n_pad)
+        L = Lp.at[idx, idx].set(jnp.ones((), L.dtype))
+    grid = n_pad // PB
+    WT = pl.pallas_call(
+        _panel_tri_inv_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, PB), L.dtype),
+            pltpu.VMEM((n_pad, PB), L.dtype),
+            pltpu.VMEM((PB, PB), L.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_pad ** 3,
+            bytes_accessed=(grid * (grid + 3)) * n_pad * PB * L.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(L)
+    return WT[:n, :n]
+
+
+def panel_chol_factors(K: jnp.ndarray, interpret: bool = False):
+    """(L, W = L⁻¹) via the two panel kernels — two kernel launches total."""
+    L = panel_cholesky(K, interpret)
+    WT = panel_tri_inv_t(L, interpret)
+    return L, jnp.swapaxes(WT, -1, -2)

@@ -218,3 +218,42 @@ def test_mvn_log_prob_centered_batched_diff():
         assert gK.shape == K.shape and bool(jnp.all(jnp.isfinite(gK)))
     finally:
         set_config(use_pallas_chol="auto")
+
+
+# ---------------------------------------------------------------------------
+# Single-launch panel kernels (ops/panel_chol.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [128, 256, 384, 200])
+def test_panel_cholesky_parity(n):
+    from gpax_tpu.ops.panel_chol import panel_cholesky, panel_tri_inv_t
+
+    K = _spd(n, seed=n)
+    L = panel_cholesky(K, True)
+    L_ref = np.linalg.cholesky(np.asarray(K, np.float64))
+    assert np.abs(np.asarray(L, np.float64) - L_ref).max() < 5e-4
+    WT = panel_tri_inv_t(L, True)
+    W = np.asarray(WT, np.float64).T
+    assert np.abs(W @ np.asarray(L, np.float64) - np.eye(n)).max() < 5e-4
+    # strict triangularity (padding/masking correctness)
+    assert np.abs(np.triu(np.asarray(L), 1)).max() == 0.0
+    assert np.abs(np.tril(np.asarray(WT), -1)).max() == 0.0
+
+
+def test_panel_cholesky_nan_on_indefinite():
+    from gpax_tpu.ops.panel_chol import panel_cholesky
+
+    K = _spd(160) - 5.0 * jnp.eye(160)
+    L = panel_cholesky(K, True)
+    assert not bool(jnp.all(jnp.isfinite(L)))
+
+
+def test_panel_factors_match_blocked():
+    from gpax_tpu.ops.panel_chol import panel_chol_factors
+
+    n = 256
+    K = _spd(n, seed=3)
+    L, W = panel_chol_factors(K, True)
+    L2, W2 = chol_inv(K, True)
+    assert jnp.allclose(L, L2, atol=5e-4, rtol=5e-4)
+    assert jnp.allclose(W, W2, atol=5e-4, rtol=5e-4)
