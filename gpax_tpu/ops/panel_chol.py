@@ -23,9 +23,23 @@ Here the whole left-looking panel algorithm is ONE ``pallas_call``:
 kernels is a column panel; the caller transposes (XLA fuses the transpose
 into consumers).
 
-Parity anchor: replaces ``jnp.linalg.cholesky`` + ``blocked_trtri`` inside
-ops.linalg.chol_tri_factors (the per-leapfrog factor path behind the
-reference's ``gpax/models/gp.py:160-164`` numpyro MVN likelihood).
+MEASURED DECISION (r03, on-chip loop probe, /tmp/r03_panel2.log): these
+kernels are numerically right (max err ~8e-7 vs XLA at n=8192) but LOSE to
+the composed path — panel_chol 41.3 ms vs XLA Cholesky 15.8 ms, panel_trtri
+38.3 ms vs blocked_trtri 3.5 ms, two-launch pair 75.9 ms vs
+chol_tri_factors' 19.7 ms at n=8192 (14.7 vs 6.3 ms at n=4096).  The
+left-looking formulation re-streams the whole left factor per block column
+with BLOCKING start/wait DMA (no double buffering), and the 128-step
+value-level diagonal-tile loops serialize on the VPU — the launch-count win
+does not survive the lost memory-level parallelism.  They stay here as a
+tested reference point (tests/test_chol.py::test_panel_*) but are NOT wired
+into ops.linalg; the hot path keeps XLA's native Cholesky + blocked_trtri
+(same verdict as round 2's forward-factorization measurement).
+
+Parity anchor: candidate replacement for ``jnp.linalg.cholesky`` +
+``blocked_trtri`` inside ops.linalg.chol_tri_factors (the per-leapfrog
+factor path behind the reference's ``gpax/models/gp.py:160-164`` numpyro
+MVN likelihood).
 """
 
 from __future__ import annotations
@@ -40,6 +54,13 @@ from jax.experimental.pallas import tpu as pltpu
 PB = 128  # panel width: one MXU/lane tile
 
 _HI = jax.lax.Precision.HIGHEST
+
+# The kernel's value-level temporaries (the (n, PB) TRSM product, iota masks,
+# fori_loop carries) live on Mosaic's scoped-vmem stack alongside the two
+# explicit (n, PB) scratch panels; at n ≥ 4096 that exceeds the 16 MB default
+# scoped limit (measured 17.52 MB at n=4096).  v5e has 128 MB of physical
+# VMEM — raise the limit well past the worst case (n=16384 → ~40 MB).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +250,7 @@ def panel_cholesky(K: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
             bytes_accessed=(grid * (grid + 3)) * n_pad * PB * Kp.dtype.itemsize,
             transcendentals=n_pad,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(Kp)
     return L[:n, :n]
@@ -266,6 +288,7 @@ def panel_tri_inv_t(L: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
             bytes_accessed=(grid * (grid + 3)) * n_pad * PB * L.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(L)
     return WT[:n, :n]
