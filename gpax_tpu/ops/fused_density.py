@@ -31,8 +31,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-from .chol import blocked_trtri, _interpret_mode
-from .linalg import _jitter_scales
+from .chol import _interpret_mode
+from .linalg import _chol_tri_factors_ld
 from .pallas_gram import pallas_gram
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -76,17 +76,6 @@ def gp_mvn_log_prob(X, k_length, k_scale, noise_eff, diff, kind="rbf"):
     return _fwd(X, k_length, k_scale, noise_eff, diff, kind)[0]
 
 
-def _factor(K):
-    """L, W=L⁻¹ with lax.cond jitter escalation (chol_tri_factors semantics;
-    K is expected to already carry the base regularization on its diagonal)."""
-    j_base, j_big, eye = _jitter_scales(K)
-    L1 = jnp.linalg.cholesky(K)
-    ok = jnp.all(jnp.isfinite(L1))
-    L = jax.lax.cond(ok, lambda: L1,
-                     lambda: jnp.linalg.cholesky(K + j_big * eye))
-    return L, blocked_trtri(L, _interpret_mode())
-
-
 def _fwd(X, k_length, k_scale, noise_eff, diff, kind):
     n = X.shape[0]
     Xs = (X / k_length).astype(jnp.float32)
@@ -98,9 +87,11 @@ def _fwd(X, k_length, k_scale, noise_eff, diff, kind):
                     interpret=_interpret_mode())
     idx = jnp.arange(n)
     K = (k_scale * m).at[idx, idx].add(noise_vec)
-    L, W = _factor(K)
+    # K already carries the θ-independent base regularization via noise_eff
+    # (the gp_mvn_log_prob contract), so base_jitter=None (no extra base add);
+    # the shared helper fuses failure detection into the log-det reduction
+    _, W, logdet = _chol_tri_factors_ld(K, None)
     alpha = W @ diff
-    logdet = jnp.log(jnp.abs(jnp.diagonal(L))).sum()
     lp = -0.5 * ((alpha * alpha).sum() + n * _LOG_2PI) - logdet
     return lp, (Xs, W, alpha, m, k_length, k_scale, noise_eff, diff)
 

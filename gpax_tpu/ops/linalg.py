@@ -68,6 +68,52 @@ def _jitter_scales(K: jnp.ndarray, base_jitter: float = 0.0):
     return j_base, j_big, eye
 
 
+def _chol_tri_factors_ld(K: jnp.ndarray, base_jitter: float = 0.0
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(L, W=L⁻¹, log|L|) of K + jitter·I — the op-diet core of the hot
+    factor path (every XLA op on this runtime bears a multi-ms dispatch
+    floor, CLAUDE.md):
+
+      * the base jitter is a PYTHON constant (θ-independent by the
+        _jitter_scales contract), so the common path never reads K's
+        diagonal — the adaptive ``j_big`` scale is computed only inside the
+        rarely-taken escalation branch of the ``lax.cond``;
+      * factorization failure is detected from the log-det reduction itself:
+        a failed f32 Cholesky always poisons the DIAGONAL (the failing pivot's
+        rsqrt yields the NaN; an off-diagonal ±inf feeds the next diagonal's
+        inf−inf), so ``isfinite(Σ log|diag L|)`` is an n-sized check that
+        doubles as the density's log-determinant — one op where the old path
+        spent an n²-sized isfinite + a separate diag/log/sum chain.
+    """
+    if K.ndim > 2:
+        return jax.vmap(lambda k: _chol_tri_factors_ld(k, base_jitter))(K)
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    # base_jitter=None: operand already carries its base regularization on the
+    # diagonal (the fused-likelihood contract, ops/fused_density.py) — factor
+    # K as-is, keeping only the escalation fallback
+    j_base = 0.0 if base_jitter is None else \
+        max(4.0 * n * float(jnp.finfo(K.dtype).eps), base_jitter)
+
+    def _chol_ld(Kj):
+        L = jnp.linalg.cholesky(Kj)
+        ld = jnp.log(jnp.abs(jnp.diagonal(L))).sum()
+        return L, ld
+
+    L1, ld1 = _chol_ld(K + j_base * eye if j_base else K)
+    ok = jnp.isfinite(ld1)
+
+    def _escalate():
+        scale = jnp.maximum(jnp.mean(jnp.diagonal(K)), 1e-12)
+        j_big = jnp.maximum(0.05, 1000.0 * n * jnp.finfo(K.dtype).eps) * scale
+        return _chol_ld(K + j_big * eye)
+
+    L, ld = jax.lax.cond(ok, lambda: (L1, ld1), _escalate)
+    if blocked_eligible(n, K.dtype):
+        return L, blocked_trtri(L, _interpret_mode()), ld
+    return L, solve_triangular(L, eye, lower=True), ld
+
+
 def chol_tri_factors(K: jnp.ndarray, base_jitter: float = 0.0
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(L, W=L⁻¹) of K + jitter·I for NON-differentiated consumers (predictive
@@ -80,13 +126,8 @@ def chol_tri_factors(K: jnp.ndarray, base_jitter: float = 0.0
     and is unnecessary without gradients."""
     if K.ndim > 2:
         return jax.vmap(lambda k: chol_tri_factors(k, base_jitter))(K)
-    j_base, j_big, eye = _jitter_scales(K, base_jitter)
-    L1 = jnp.linalg.cholesky(K + j_base * eye)
-    ok = jnp.all(jnp.isfinite(L1))
-    L = jax.lax.cond(ok, lambda: L1, lambda: jnp.linalg.cholesky(K + j_big * eye))
-    if blocked_eligible(K.shape[-1], K.dtype):
-        return L, blocked_trtri(L, _interpret_mode())
-    return L, solve_triangular(L, eye, lower=True)
+    L, W, _ = _chol_tri_factors_ld(K, base_jitter)
+    return L, W
 
 
 def wtw_compensated(W: jnp.ndarray) -> jnp.ndarray:
@@ -138,10 +179,9 @@ def mvn_log_prob_centered(K: jnp.ndarray, diff: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mvn_lp_fwd(K, diff):
-    L, W = chol_tri_factors(K)
+    _, W, logdet = _chol_tri_factors_ld(K)
     alpha = jnp.einsum("...ij,...j->...i", W, diff)
     n = K.shape[-1]
-    logdet = jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))).sum(-1)
     lp = -0.5 * ((alpha * alpha).sum(-1) + n * _LOG_2PI) - logdet
     return lp, (W, alpha, diff.shape)
 
@@ -158,8 +198,6 @@ def _unbroadcast(x, shape):
 
 def _mvn_lp_bwd(res, g):
     W, alpha, diff_shape = res
-    W = jnp.where(jnp.isfinite(W), W, 0.0)
-    alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
     beta = jnp.einsum("...ji,...j->...i", W, alpha)
     # the dominant n³ term of every leapfrog backward: split-f32 compensated
     # (3 one-pass matmuls, ~1e-6 rel err) — see wtw_compensated
@@ -167,6 +205,12 @@ def _mvn_lp_bwd(res, g):
     bb = jnp.einsum("...i,...j->...ij", beta, beta)
     dK = 0.5 * g[..., None, None] * (bb - Kinv)
     ddiff = -g[..., None] * beta
+    # non-finite factorizations (even escalated) must yield ZERO, not NaN,
+    # cotangents.  Masking the OUTPUTS (fused into the dK/ddiff writes) costs
+    # nothing extra; the old input-side where(isfinite(W)) was two standalone
+    # n²-sized passes on this multi-ms-per-op runtime.
+    dK = jnp.where(jnp.isfinite(dK), dK, 0.0)
+    ddiff = jnp.where(jnp.isfinite(ddiff), ddiff, 0.0)
     return _unbroadcast(dK, W.shape), _unbroadcast(ddiff, diff_shape)
 
 
