@@ -123,6 +123,21 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_HI)
 
 
+def _assemble_lower(B11, B21, B22):
+    """[[B11, 0], [B21, B22]] via two concatenates.
+
+    Preferred over ``jnp.block``, which lowers each quadrant to full-size
+    pad/maximum/select cascades (~10 full-matrix HLO ops per assembly,
+    r03 cost tally).  Measured wall-clock at n=8192 was unchanged (XLA
+    fuses the pads cheaply), but concatenate keeps the HLO lean — each
+    block is copied exactly once — and gives the fusion pass less to
+    rematerialize into backward consumers."""
+    h, w = B11.shape[-2], B22.shape[-1]
+    top = jnp.concatenate([B11, jnp.zeros((h, w), B11.dtype)], axis=-1)
+    bot = jnp.concatenate([B21, B22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def _chol_inv_rec(K, interpret):
     n = K.shape[-1]
     if n <= TILE:
@@ -133,9 +148,8 @@ def _chol_inv_rec(K, interpret):
     L21 = _mm(K21, W11.T)                       # TRSM: L21·L11ᵀ = K21
     L22, W22 = _chol_inv_rec(K22 - _mm(L21, L21.T), interpret)
     W21 = -_mm(W22, _mm(L21, W11))
-    zero = jnp.zeros((h, n - h), K.dtype)
-    L = jnp.block([[L11, zero], [L21, L22]])
-    W = jnp.block([[W11, zero], [W21, W22]])
+    L = _assemble_lower(L11, L21, L22)
+    W = _assemble_lower(W11, W21, W22)
     return L, W
 
 
@@ -245,8 +259,7 @@ def _trtri_rec(L, interpret):
     W11 = _trtri_rec(L[:h, :h], interpret)
     W22 = _trtri_rec(L[h:, h:], interpret)
     W21 = -_mm(W22, _mm(L[h:, :h], W11))
-    zero = jnp.zeros((h, n - h), L.dtype)
-    return jnp.block([[W11, zero], [W21, W22]])
+    return _assemble_lower(W11, W21, W22)
 
 
 def blocked_trtri(L: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:

@@ -99,9 +99,11 @@ def _rec(K, leaf, pin):
     L21 = pin(_mm(K21, W11.T))
     L22, W22 = _rec(pin(K22 - _mm(L21, L21.T)), leaf, pin)
     W21 = pin(-_mm(W22, _mm(L21, W11)))
-    zero = jnp.zeros((h, n - h), K.dtype)
-    L = pin(jnp.block([[L11, zero], [L21, L22]]))
-    W = pin(jnp.block([[W11, zero], [W21, W22]]))
+    # concatenate, not jnp.block: block lowers to full-size pad/select
+    # cascades (~10 extra matrix passes per assembly; see ops/chol.py)
+    from ..ops.chol import _assemble_lower
+    L = pin(_assemble_lower(L11, L21, L22))
+    W = pin(_assemble_lower(W11, W21, W22))
     return L, W
 
 
