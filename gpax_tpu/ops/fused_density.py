@@ -99,6 +99,10 @@ def _fwd(X, k_length, k_scale, noise_eff, diff, kind):
 def _bwd(kind, res, g):
     Xs, W, alpha, m, k_length, k_scale, noise_eff, diff = res
     n = Xs.shape[0]
+    # pin W/alpha as materialized: without this XLA rematerializes the blocked
+    # trtri recursion into the backward consumers when fwd+bwd share one
+    # program (measured 112→51.5 ms fwd+bwd at n=8192 — see linalg._mvn_lp_bwd)
+    W, alpha = jax.lax.optimization_barrier((W, alpha))
     # non-finite factorization (even escalated) → zero, not NaN, gradients;
     # the guard is applied to the SMALL outputs at the end (big intermediates
     # may carry NaNs, the output masks stop them), so no n²-sized masks here

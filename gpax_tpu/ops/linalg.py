@@ -198,6 +198,13 @@ def _unbroadcast(x, shape):
 
 def _mvn_lp_bwd(res, g):
     W, alpha, diff_shape = res
+    # Under value_and_grad the custom-VJP fwd and bwd land in ONE XLA program,
+    # and XLA's fusion pass REMATERIALIZES W's producer chain (the blocked
+    # trtri recursion) into the backward consumers instead of reusing the
+    # materialized W.  Measured at n=8192 (r03 bwdiso probe): fwd+bwd 112 ms
+    # without the barrier vs 51.5 ms with it — the barrier restores the
+    # sum-of-parts cost (chol 12.9 + trtri 17.4 + WᵀW 17.8 + O(n²) ≈ 51 ms).
+    W, alpha = jax.lax.optimization_barrier((W, alpha))
     beta = jnp.einsum("...ji,...j->...i", W, alpha)
     # the dominant n³ term of every leapfrog backward: split-f32 compensated
     # (3 one-pass matmuls, ~1e-6 rel err) — see wtw_compensated
