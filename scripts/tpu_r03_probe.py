@@ -243,7 +243,7 @@ def fused_ab():
     gp.X_train, gp.y_train = X, y
 
     out = {"probe": "fused_ab", "n": n}
-    for mode, label in (("auto", "fused"), ("never", "composed")):
+    for mode, label in (("always", "fused"), ("never", "composed")):
         gpax_tpu.set_config(use_fused_likelihood=mode)
         info = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
         zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
@@ -369,7 +369,7 @@ def fused_ab_n(n):
 
     out = {"probe": "fused_ab", "n": n}
     reps = max(4, 32768 // n)
-    for mode, label in (("auto", "fused"), ("never", "composed")):
+    for mode, label in (("always", "fused"), ("never", "composed")):
         gpax_tpu.set_config(use_fused_likelihood=mode)
         info = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
         zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
