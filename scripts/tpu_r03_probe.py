@@ -152,6 +152,46 @@ def exact8k_ab():
            seg_leap=[int(v) for v in seg_leap])
 
 
+def exact16k():
+    """Capability probe at n=16384 (2x the north star): bare potential+grad
+    cost and a small bounded NUTS run.  depth 6 / segment 1 keeps the
+    worst-case device call at 64 leapfrogs x ~0.5 s ~= 32 s, inside the
+    duration-fault line (N8192_NOTE.md)."""
+    import gpax_tpu
+    from gpax_tpu.ppl import initialize_model
+    from gpax_tpu.infer.nuts import run_nuts_segmented
+
+    n = 16384
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), jnp.float32)
+    y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
+    gp = gpax_tpu.ExactGP(1, "RBF")
+    gp.X_train, gp.y_train = X, y
+    info = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
+    zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
+    pg = jax.value_and_grad(lambda z: info.potential_fn(unravel(z)))
+
+    bare_ms = loop_time_z(pg, zf, 2) * 1e3
+    record(probe="exact16k_potgrad", bare_potgrad_ms=bare_ms)
+
+    t0 = time.time()
+    zs, stats, _ = run_nuts_segmented(
+        info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(2),
+        num_warmup=10, num_samples=10, max_tree_depth=6, segment_size=1)
+    total_s = time.time() - t0
+    seg_wall = np.asarray(stats["segment_wall_s"])
+    seg_leap = np.asarray(stats["segment_leapfrogs"], np.float64)
+    warm_ms = 1e3 * seg_wall[1:].sum() / max(seg_leap[1:].sum(), 1)
+    record(probe="exact16k_nuts", bare_potgrad_ms=bare_ms,
+           in_nuts_warm_ms_per_leapfrog=float(warm_ms),
+           ratio=float(warm_ms / bare_ms),
+           leapfrogs=float(seg_leap.sum()),
+           accept=float(np.asarray(stats["accept_prob"]).mean()),
+           nuts_total_s=total_s,
+           seg_wall=[round(float(s), 2) for s in seg_wall],
+           seg_leap=[int(v) for v in seg_leap])
+
+
 def mvn_ablate():
     from gpax_tpu.ops.linalg import (
         chol_tri_factors, mvn_log_prob_centered, _mvn_lp_fwd)
