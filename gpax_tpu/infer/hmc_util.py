@@ -172,15 +172,26 @@ def find_reasonable_step_size(potential_grad: Callable, z: jnp.ndarray,
 def warmup_schedule(num_warmup: int, init_buffer: int = 75, term_buffer: int = 50,
                     base_window: int = 25):
     """Stan-style adaptation schedule.  Returns, per warmup step, a pair of flags:
-    (update_mass_window, is_window_end) as numpy-backed jnp arrays for scan."""
+    (update_mass_window, is_window_end) as numpy-backed jnp arrays for scan.
+
+    Every mass-matrix update restarts dual averaging (nuts.py end_window), whose
+    early iterates are biased toward mu = log(10 eps) (the Hoffman-Gelman
+    transient) — so a mass window may only close if a REAL term buffer
+    (>= 20 steps) remains for the step size to re-converge before the average
+    is frozen.  A proportional 10% buffer is not enough at small budgets:
+    measured at n=8192 with num_warmup=50, the old schedule closed its window
+    at step 44, leaving 5 recovery steps and an inflated frozen step size —
+    sampling accept 0.39 vs 0.81 with step-size-only adaptation (BENCH r03
+    validation run).  When no window fits under that constraint the schedule
+    degrades to step-size-only adaptation (identity metric), which is the
+    measured-good small-budget behavior."""
+    no_mass = (jnp.zeros((num_warmup,), bool), jnp.zeros((num_warmup,), bool))
     if num_warmup < 20:
         # tiny warmup: only step-size adaptation
-        in_window = jnp.zeros((num_warmup,), bool)
-        window_end = jnp.zeros((num_warmup,), bool)
-        return in_window, window_end
+        return no_mass
     if num_warmup < init_buffer + term_buffer + base_window:
         init_buffer = int(0.15 * num_warmup)
-        term_buffer = int(0.1 * num_warmup)
+        term_buffer = max(20, int(0.1 * num_warmup))
     ends = []
     pos = init_buffer
     w = base_window
@@ -188,8 +199,12 @@ def warmup_schedule(num_warmup: int, init_buffer: int = 75, term_buffer: int = 5
         pos += w
         ends.append(pos - 1)
         w *= 2
-    if ends:
-        ends[-1] = num_warmup - term_buffer - 1
+    if not ends:
+        # no window fits with a usable term buffer: accumulating Welford
+        # without ever applying it would waste nothing but flags — degrade
+        # explicitly to step-size-only adaptation
+        return no_mass
+    ends[-1] = num_warmup - term_buffer - 1
     in_window = [init_buffer <= i <= (num_warmup - term_buffer - 1) for i in range(num_warmup)]
     window_end = [i in set(ends) for i in range(num_warmup)]
     return jnp.asarray(in_window), jnp.asarray(window_end)

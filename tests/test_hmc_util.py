@@ -108,6 +108,22 @@ def test_warmup_schedule_structure():
     assert not np.asarray(iw).any() and not np.asarray(we).any()
 
 
+def test_warmup_schedule_small_budget_term_buffer():
+    # Every mass update restarts dual averaging, whose early iterates are
+    # biased toward 10x the step size — a window may only close if >= 20
+    # recovery steps remain.  At 50 the old schedule closed a window at step
+    # 44 (5 recovery steps -> frozen step size inflated, accept 0.39 at
+    # n=8192); now 50 degrades to step-size-only adaptation.
+    iw, we = warmup_schedule(50)
+    assert not np.asarray(iw).any() and not np.asarray(we).any()
+    # where a window does fit, the final update leaves >= 20 recovery steps
+    for n in (60, 100, 150, 500):
+        iw, we = warmup_schedule(n)
+        ends = np.where(np.asarray(we))[0]
+        assert ends.size >= 1
+        assert n - 1 - ends[-1] >= 20, (n, ends)
+
+
 def test_sample_momentum_respects_mass():
     key = jax.random.PRNGKey(0)
     inv_mass = jnp.asarray([0.25, 4.0])
