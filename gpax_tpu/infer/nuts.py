@@ -393,6 +393,7 @@ def run_nuts_segmented(
     init_step_size: float = 1.0,
     progress: bool = False,
     dense_mass: bool = False,
+    collect_warmup: bool = False,
 ):
     """Warmup + sampling executed in Python-driven segments of ``segment_size``
     NUTS transitions, carrying (state, adaptation) between device calls.
@@ -457,9 +458,10 @@ def run_nuts_segmented(
             print(f"  NUTS segment {s + 1}/{n_segments} ({done}/{total} steps)",
                   flush=True)
 
-    zs = jnp.concatenate(zs_parts, axis=0)[num_warmup:total]
+    start = 0 if collect_warmup else num_warmup
+    zs = jnp.concatenate(zs_parts, axis=0)[start:total]
     stats = {
-        k: jnp.concatenate([p[k] for p in stats_parts], axis=0)[num_warmup:total]
+        k: jnp.concatenate([p[k] for p in stats_parts], axis=0)[start:total]
         for k in stats_parts[0]
     }
     # per-segment wall-clock (segment 1 includes compile) — lets callers

@@ -216,7 +216,11 @@ def test_predict_moments_matches_sampled(fitted_gp):
     mean_exact, var_exact = fitted_gp.predict_moments(get_keys()[1], X_new)
     _, y_sampled = fitted_gp.predict(get_keys()[1], X_new, n=200)
     flat = np.asarray(y_sampled).reshape(-1, 15)
-    np.testing.assert_allclose(np.asarray(mean_exact), flat.mean(0), rtol=0.05, atol=0.02)
+    # atol: the mixture mean's MC error is governed by the S=100 posterior
+    # samples (the n=200 within-sample draws don't shrink between-sample
+    # variance) — se ~ sd/sqrt(S) ~ 0.02, so 0.02 was a 1-sigma bound that
+    # flaked whenever the fixture's chain shifted; 0.045 is ~2 sigma.
+    np.testing.assert_allclose(np.asarray(mean_exact), flat.mean(0), rtol=0.05, atol=0.045)
     np.testing.assert_allclose(np.asarray(var_exact), flat.var(0), rtol=0.25, atol=0.02)
 
 
