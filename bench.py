@@ -146,6 +146,7 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
         # an extra 3x for bf16 hardware passes, inflating utilization)
         est_mxu_util_pct=100.0 * tflops_per_s * 1e12 / V5E_BF16_PEAK,
         accept_rate=float(np.asarray(stats["accept_prob"]).mean()),
+        divergences=int(np.asarray(stats["diverging"]).sum()),
         max_depth=max_depth,
         timing=compiled_note,
     )
@@ -182,12 +183,15 @@ def bench_exactgp_headline():
 
 
 def bench_exactgp_8k():
-    """North-star config: n=8192 NUTS fit.  50+50 budget (the r01 validation
-    budget): ~165-216 ms/leapfrog makes 100+100 a multi-hour line; depth 7 +
-    segment 2 keeps worst-case calls under ~55 s and lifts accept from the
-    truncated 0.63 (depth 6) to the probe's 0.86 (N8192_NOTE.md)."""
+    """North-star config: n=8192 NUTS fit.  100 warmup + 50 samples: a
+    50-step warmup does not reach the typical set at this n — the measured
+    live step size was still oscillating 4x at step 50 and sampling accept
+    decayed 0.76 -> 0.41 over the 50 draws (PROFILE_r03 warmup_diag_8k);
+    100 warmup also fits a mass-adaptation window with a full 20-step
+    recovery buffer (hmc_util.warmup_schedule).  depth 7 + segment 2 keeps
+    worst-case calls under ~55 s (duration-fault line, N8192_NOTE.md)."""
     bench_exactgp(8192, segment_size=2, warm_time=False,
-                  num_warmup=50, num_samples=50)
+                  num_warmup=100, num_samples=50)
 
 
 def bench_vigp_sparse_image():

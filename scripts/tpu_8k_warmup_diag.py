@@ -67,4 +67,7 @@ def run(num_warmup, num_samples):
 
 
 if __name__ == "__main__":
-    run(50, 50)
+    if len(sys.argv) > 2:
+        run(int(sys.argv[1]), int(sys.argv[2]))
+    else:
+        run(50, 50)
