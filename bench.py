@@ -79,42 +79,35 @@ def emit(metric, value, unit, vs_baseline, **extra):
 
 def bench_exactgp(n, segment_size=None, warm_time=True,
                   num_warmup=NUM_WARMUP, num_samples=NUM_SAMPLES,
-                  max_depth=MAX_DEPTH):
-    """ExactGP RBF 1D NUTS fit at size n (BASELINE config 1; north star n=8k).
+                  max_depth=MAX_DEPTH, predict_m=2048):
+    """ExactGP RBF 1D NUTS fit + fully-Bayesian predict at size n (BASELINE
+    config 1; north star n=8k).  Runs through the PUBLIC API (``gp.fit`` /
+    ``predict_in_batches``) so the driver artifact measures what a user of
+    the reference would call (gpax/models/gp.py:166-220,295-399), and covers
+    all three BASELINE metrics: fit wall-clock, predict points/s, posterior
+    RMSE.
 
     segment_size: run the sampler in bounded device programs (the empirical
     fault trigger on this runtime is long-running device calls at large n —
     N8192_NOTE.md; segments bound each call's duration).
-    warm_time: time a second run after a warmup run (excludes compile); for
+    warm_time: time a second fit after a warmup fit (excludes compile); for
     very large n a single timed run including compile is reported instead
     (a SECOND large fit in one process has faulted the device — CLAUDE.md).
     """
     import gpax_tpu
-    from gpax_tpu.ppl import initialize_model
-    from gpax_tpu.infer.nuts import run_nuts, run_nuts_segmented
 
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), dtype=jnp.float32)
     y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
 
     gp = gpax_tpu.ExactGP(1, "RBF")
-    gp.X_train, gp.y_train = X, y
-    info = initialize_model(gp.model, jax.random.PRNGKey(0), (X, y))
 
-    if segment_size:
-        def fit(k):
-            zs, stats, _ = run_nuts_segmented(
-                info.potential_fn, info.init_unconstrained, k,
-                num_warmup, num_samples, max_tree_depth=max_depth,
-                segment_size=segment_size)
-            return zs, stats
-    else:
-        fit = jax.jit(
-            lambda k: run_nuts(
-                info.potential_fn, info.init_unconstrained, k,
-                num_warmup, num_samples, max_tree_depth=max_depth,
-            )[:2]
-        )
+    def fit(k):
+        gp.fit(k, X, y, num_warmup=num_warmup, num_samples=num_samples,
+               max_tree_depth=max_depth, segment_size=segment_size,
+               print_summary=False, progress_bar=False)
+        return gp.get_samples()["noise"], gp.mcmc.get_extra_fields()
+
     compiled_note = "warm"
     if warm_time:
         zs, stats = fit(jax.random.PRNGKey(1))
@@ -166,6 +159,26 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
         extra["leapfrogs_per_s_warm"] = warm_leap / max(warm_s, 1e-9)
         extra["est_tflops_per_s_warm"] = \
             warm_leap * 3.0 * n**3 / max(warm_s, 1e-9) / 1e12
+
+    # BASELINE metrics 2+3: fully-Bayesian predict points/s (vmapped
+    # Cholesky-solve posterior over all samples) and posterior RMSE vs the
+    # generating function (reference predict: gpax/models/gp.py:351-399)
+    X_new = jnp.linspace(-2, 2, predict_m, dtype=jnp.float32)[:, None]
+    t0 = time.time()
+    mean, _ = gp.predict_in_batches(jax.random.PRNGKey(3), X_new,
+                                    batch_size=1024, noiseless=True)
+    jax.block_until_ready(mean)
+    pred_s = time.time() - t0
+    t0 = time.time()
+    mean, _ = gp.predict_in_batches(jax.random.PRNGKey(3), X_new,
+                                    batch_size=1024, noiseless=True)
+    jax.block_until_ready(mean)
+    pred_warm_s = time.time() - t0
+    truth = np.sin(2 * np.asarray(X_new[:, 0]))
+    extra["predict_points_per_s"] = predict_m / pred_s
+    extra["predict_points_per_s_warm"] = predict_m / pred_warm_s
+    extra["posterior_rmse"] = float(
+        np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)))
     return emit(
         f"exactgp_rbf1d_n{n}_nuts{num_warmup}+{num_samples}_fit_wallclock",
         fit_s, "s", cpu_s_per_leapfrog * leapfrogs / fit_s,
@@ -389,7 +402,7 @@ CONFIGS = {
 # cover ~60% of its estimate
 ORDER = ("exactgp", "exactgp8k", "mtgp", "vigp", "visparsegp", "vidkl")
 EST_COST_S = {
-    "exactgp": 700, "exactgp8k": 1400, "mtgp": 500,
+    "exactgp": 800, "exactgp8k": 1600, "mtgp": 500,
     "vigp": 600, "visparsegp": 400, "vidkl": 350,
 }
 

@@ -253,6 +253,7 @@ class ExactGP:
         pad_to_multiple: Optional[int] = None,
         segment_size: Optional[int] = None,
         dense_mass: Optional[bool] = None,
+        max_tree_depth: int = 10,
         **kwargs,
     ) -> None:
         """Run NUTS over the GP hyperparameters.
@@ -270,6 +271,10 @@ class ExactGP:
         one (cheap: the hyperparameter dim is tiny).  ``None`` takes the
         class default — True for the multitask models, whose ICM mixing
         parameters have intrinsically correlated posteriors (see infer.NUTS).
+
+        ``max_tree_depth``: NUTS doubling cap (default 10, numpyro's).  Large-n
+        TPU fits cap at 7 so the worst-case bounded-segment device call stays
+        under the runtime's duration limit (N8192_NOTE.md).
         """
         X, y = self._set_data(X, y)
         if device:
@@ -314,7 +319,8 @@ class ExactGP:
         if dense_mass is None:
             dense_mass = self._default_dense_mass
         self.mcmc = MCMC(
-            NUTS(self.model, init_strategy="median", dense_mass=dense_mass),
+            NUTS(self.model, init_strategy="median", dense_mass=dense_mass,
+                 max_tree_depth=max_tree_depth),
             num_warmup=num_warmup,
             num_samples=num_samples,
             num_chains=num_chains,
