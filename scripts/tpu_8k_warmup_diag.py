@@ -30,12 +30,11 @@ def record(**kv):
         fh.write(json.dumps(kv) + "\n")
 
 
-def run(num_warmup, num_samples):
+def run(num_warmup, num_samples, n=8192, max_tree_depth=7, segment_size=2):
     import gpax_tpu
     from gpax_tpu.ppl import initialize_model
     from gpax_tpu.infer.nuts import run_nuts_segmented
 
-    n = 8192
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), jnp.float32)
     y = jnp.sin(2 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=n), jnp.float32)
@@ -47,7 +46,8 @@ def run(num_warmup, num_samples):
     zs, stats, _ = run_nuts_segmented(
         info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(2),
         num_warmup=num_warmup, num_samples=num_samples,
-        max_tree_depth=7, segment_size=2, collect_warmup=True)
+        max_tree_depth=max_tree_depth, segment_size=segment_size,
+        collect_warmup=True)
     total_s = time.time() - t0
 
     acc = np.asarray(stats["accept_prob"], np.float64)
@@ -55,7 +55,8 @@ def run(num_warmup, num_samples):
     div = np.asarray(stats["diverging"])
     nst = np.asarray(stats["num_steps"], np.float64)
     chunks = [round(float(acc[i:i + 10].mean()), 3) for i in range(0, len(acc), 10)]
-    record(probe="warmup_diag_8k", num_warmup=num_warmup,
+    record(probe=f"warmup_diag_{n}", n=n, max_tree_depth=max_tree_depth,
+           num_warmup=num_warmup,
            num_samples=num_samples, total_s=total_s,
            accept_sampling=float(acc[num_warmup:].mean()),
            accept_last25_warmup=float(acc[max(0, num_warmup - 25):num_warmup].mean()),
@@ -68,6 +69,6 @@ def run(num_warmup, num_samples):
 
 if __name__ == "__main__":
     if len(sys.argv) > 2:
-        run(int(sys.argv[1]), int(sys.argv[2]))
+        run(*[int(a) for a in sys.argv[1:]])
     else:
         run(50, 50)

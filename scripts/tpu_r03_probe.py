@@ -348,6 +348,95 @@ def bwd_ablate():
     record(**out)
 
 
+def bwd_variants():
+    """Op-diet candidates for the MVN VJP backward at n=8192, measured with
+    the ADDITIVE accumulating-carry harness (CLAUDE.md): bwd_ablate's
+    multiplicative perturbation X*(1+1e-9 i) is foldable for bilinear ops —
+    (cX)т(cX) = c² XтX lets XLA hoist the matmul out of the loop, which is
+    why its wtw_matmul_hi "measured" 3.6 ms (6 bf16 passes of 8192³ cannot
+    run under ~60 ms)."""
+    from gpax_tpu.ops.linalg import wtw_compensated, _mvn_lp_bwd
+    from gpax_tpu.ops.chol import blocked_trtri
+
+    n = 8192
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(n, n)).astype(np.float32)
+    K = jnp.asarray(A @ A.T / n + np.eye(n, dtype=np.float32))
+    diff = jnp.asarray(rng.normal(size=n), jnp.float32)
+    L = jnp.linalg.cholesky(K)
+    W = blocked_trtri(L)
+    alpha = W @ diff
+    reps = 8
+    g = jnp.float32(1.0)
+
+    def loop_time(fn, X):
+        @jax.jit
+        def looped(X):
+            def body(i, acc):
+                out = fn(X + acc * 1e-20)
+                return acc + jnp.ravel(out)[0] * 1e-20 + 1e-24
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        r = looped(X)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = looped(X)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / reps
+
+    def tdot(a, b):
+        return jnp.matmul(jnp.swapaxes(a, -1, -2), b,
+                          preferred_element_type=jnp.float32)
+
+    def wtw_2cross(W):
+        hi = W.astype(jnp.bfloat16)
+        lo = (W - hi.astype(W.dtype)).astype(jnp.bfloat16)
+        # symmetric-consumer equivalence: <2 cross, S> == <cross + crossT, S>
+        # for symmetric S (every dK consumer contracts against a symmetric
+        # dK/dtheta) — drops the n² transpose pass
+        return tdot(hi, hi) + 2.0 * tdot(hi, lo)
+
+    def bwd_current(W):
+        return _mvn_lp_bwd((W, alpha, diff.shape), g)[0]
+
+    def bwd_scalar_mask(W):
+        Wb, ab = jax.lax.optimization_barrier((W, alpha))
+        beta = jnp.einsum("ji,j->i", Wb, ab)
+        Kinv = wtw_compensated(Wb)
+        bb = jnp.einsum("i,j->ij", beta, beta)
+        dK = 0.5 * g * (bb - Kinv)
+        ok = jnp.isfinite(jnp.diagonal(Wb)).all()
+        return jnp.where(ok, dK, 0.0)
+
+    def bwd_2cross_scalar_mask(W):
+        Wb, ab = jax.lax.optimization_barrier((W, alpha))
+        beta = jnp.einsum("ji,j->i", Wb, ab)
+        Kinv = wtw_2cross(Wb)
+        bb = jnp.einsum("i,j->ij", beta, beta)
+        dK = 0.5 * g * (bb - Kinv)
+        ok = jnp.isfinite(jnp.diagonal(Wb)).all()
+        return jnp.where(ok, dK, 0.0)
+
+    out = {"probe": "bwd_variants", "n": n}
+    out["wtw_comp_ms"] = loop_time(wtw_compensated, W) * 1e3
+    out["wtw_2cross_ms"] = loop_time(wtw_2cross, W) * 1e3
+    out["wtw_matmul_hi_ms"] = loop_time(
+        lambda X: jnp.matmul(X.T, X, precision=HI), W) * 1e3
+    out["wtw_matmul_default_ms"] = loop_time(
+        lambda X: jnp.matmul(X.T, X), W) * 1e3
+    out["bwd_current_ms"] = loop_time(bwd_current, W) * 1e3
+    out["bwd_scalar_mask_ms"] = loop_time(bwd_scalar_mask, W) * 1e3
+    out["bwd_2cross_scalar_mask_ms"] = loop_time(bwd_2cross_scalar_mask, W) * 1e3
+    # parity of the 2cross trick under a symmetric consumer
+    dK_a = _mvn_lp_bwd((W, alpha, diff.shape), g)[0]
+    dK_b = bwd_2cross_scalar_mask(W)
+    S = jnp.asarray(rng.normal(size=(n, n)).astype(np.float32))
+    S = S + S.T
+    err = float(jnp.abs(jnp.vdot(dK_a, S) - jnp.vdot(dK_b, S))
+                / jnp.abs(jnp.vdot(dK_a, S)))
+    out["sym_contract_rel_err"] = err
+    record(**out)
+
+
 def fused_ablate():
     """Break the fused-density op into fwd / bwd at n=8192: the full fused
     potgrad (160 ms) far exceeds its parts (~60 ms) — find the hidden cost."""
