@@ -224,6 +224,16 @@ def test_predict_moments_matches_sampled(fitted_gp):
     np.testing.assert_allclose(np.asarray(var_exact), flat.var(0), rtol=0.25, atol=0.02)
 
 
+def test_fit_max_tree_depth_cap():
+    """fit(max_tree_depth=d) caps every trajectory at 2^d - 1 leapfrogs."""
+    X, y = get_dummy_data()
+    m = ExactGP(1, "RBF")
+    m.fit(get_keys()[0], X, y, num_warmup=30, num_samples=30,
+          max_tree_depth=3, print_summary=False, progress_bar=False)
+    num_steps = np.asarray(m.mcmc.get_extra_fields()["num_steps"])
+    assert num_steps.max() <= 7
+
+
 def test_fit_under_x64(monkeypatch):
     """enable_x64 parity: the whole stack must run in double precision too."""
     import gpax_tpu
