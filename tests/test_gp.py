@@ -221,7 +221,10 @@ def test_predict_moments_matches_sampled(fitted_gp):
     # variance) — se ~ sd/sqrt(S) ~ 0.02, so 0.02 was a 1-sigma bound that
     # flaked whenever the fixture's chain shifted; 0.045 is ~2 sigma.
     np.testing.assert_allclose(np.asarray(mean_exact), flat.mean(0), rtol=0.05, atol=0.045)
-    np.testing.assert_allclose(np.asarray(var_exact), flat.var(0), rtol=0.25, atol=0.02)
+    # var atol: same S=100 between-sample MC error dominates; the sampled
+    # variance's se at the observed scale is ~0.01, so 0.02 was ~2 sigma and
+    # flaked (observed diff 0.0261 in the r03 full-suite run); 0.035 is ~3 sigma.
+    np.testing.assert_allclose(np.asarray(var_exact), flat.var(0), rtol=0.25, atol=0.035)
 
 
 def test_fit_max_tree_depth_cap():
