@@ -30,7 +30,8 @@ def record(**kv):
         fh.write(json.dumps(kv) + "\n")
 
 
-def run(num_warmup, num_samples, n=8192, max_tree_depth=7, segment_size=2):
+def run(num_warmup, num_samples, n=8192, max_tree_depth=7, segment_size=2,
+        dense_mass=0):
     import gpax_tpu
     from gpax_tpu.ppl import initialize_model
     from gpax_tpu.infer.nuts import run_nuts_segmented
@@ -47,7 +48,7 @@ def run(num_warmup, num_samples, n=8192, max_tree_depth=7, segment_size=2):
         info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(2),
         num_warmup=num_warmup, num_samples=num_samples,
         max_tree_depth=max_tree_depth, segment_size=segment_size,
-        collect_warmup=True)
+        dense_mass=bool(dense_mass), collect_warmup=True)
     total_s = time.time() - t0
 
     acc = np.asarray(stats["accept_prob"], np.float64)
@@ -56,6 +57,7 @@ def run(num_warmup, num_samples, n=8192, max_tree_depth=7, segment_size=2):
     nst = np.asarray(stats["num_steps"], np.float64)
     chunks = [round(float(acc[i:i + 10].mean()), 3) for i in range(0, len(acc), 10)]
     record(probe=f"warmup_diag_{n}", n=n, max_tree_depth=max_tree_depth,
+           dense_mass=bool(dense_mass),
            num_warmup=num_warmup,
            num_samples=num_samples, total_s=total_s,
            accept_sampling=float(acc[num_warmup:].mean()),
