@@ -263,3 +263,30 @@ def test_dense_mass_segmented_chains():
     x = np.asarray(jax.vmap(jax.vmap(constrain))(zs)["x"]).reshape(-1, 2)
     np.testing.assert_allclose(np.cov(x.T), np.asarray(cov), atol=0.2)
     assert np.isfinite(x).all()
+
+
+def test_collect_warmup_segmented():
+    """collect_warmup=True returns warmup transitions too (the warmup-
+    diagnosis surface: step-size traces and per-phase accept rates)."""
+    from gpax_tpu.infer.nuts import run_nuts_segmented
+
+    def model():
+        ppl.sample("x", dist.Normal(jnp.zeros(2), 1.0))
+
+    from gpax_tpu.ppl.util import initialize_model
+    info = initialize_model(model, jax.random.PRNGKey(0))
+    zs_all, stats_all, _ = run_nuts_segmented(
+        info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(5),
+        num_warmup=60, num_samples=40, segment_size=25, collect_warmup=True)
+    assert zs_all.shape[0] == 100
+    assert stats_all["accept_prob"].shape[0] == 100
+    # live step size moves during warmup, frozen afterwards
+    eps = np.asarray(stats_all["step_size"])
+    assert np.unique(eps[:60]).size > 1
+    assert np.unique(eps[60:]).size == 1
+    zs, stats, _ = run_nuts_segmented(
+        info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(5),
+        num_warmup=60, num_samples=40, segment_size=25)
+    assert zs.shape[0] == 40
+    # the sampling draws are identical with and without warmup collection
+    np.testing.assert_allclose(np.asarray(zs_all[60:]), np.asarray(zs))
