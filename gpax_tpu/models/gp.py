@@ -254,6 +254,7 @@ class ExactGP:
         segment_size: Optional[int] = None,
         dense_mass: Optional[bool] = None,
         max_tree_depth: int = 10,
+        target_accept_prob: float = 0.8,
         **kwargs,
     ) -> None:
         """Run NUTS over the GP hyperparameters.
@@ -275,6 +276,10 @@ class ExactGP:
         ``max_tree_depth``: NUTS doubling cap (default 10, numpyro's).  Large-n
         TPU fits cap at 7 so the worst-case bounded-segment device call stays
         under the runtime's duration limit (N8192_NOTE.md).
+
+        ``target_accept_prob``: dual-averaging acceptance target (default 0.8,
+        numpyro's).  Lowering it trades acceptance for larger steps — fewer
+        leapfrogs per transition on posteriors that run deep trees.
         """
         X, y = self._set_data(X, y)
         if device:
@@ -320,7 +325,8 @@ class ExactGP:
             dense_mass = self._default_dense_mass
         self.mcmc = MCMC(
             NUTS(self.model, init_strategy="median", dense_mass=dense_mass,
-                 max_tree_depth=max_tree_depth),
+                 max_tree_depth=max_tree_depth,
+                 target_accept_prob=target_accept_prob),
             num_warmup=num_warmup,
             num_samples=num_samples,
             num_chains=num_chains,

@@ -227,6 +227,19 @@ def test_predict_moments_matches_sampled(fitted_gp):
     np.testing.assert_allclose(np.asarray(var_exact), flat.var(0), rtol=0.25, atol=0.035)
 
 
+def test_fit_target_accept_prob():
+    """fit(target_accept_prob=t): lower targets adapt LARGER step sizes."""
+    X, y = get_dummy_data()
+    eps = {}
+    for ta in (0.9, 0.6):
+        m = ExactGP(1, "RBF")
+        m.fit(get_keys()[0], X, y, num_warmup=60, num_samples=10,
+              target_accept_prob=ta, print_summary=False, progress_bar=False)
+        assert m.mcmc.kernel.target_accept_prob == ta
+        eps[ta] = float(np.asarray(m.mcmc.get_extra_fields()["step_size"])[-1])
+    assert eps[0.6] > eps[0.9]
+
+
 def test_fit_max_tree_depth_cap():
     """fit(max_tree_depth=d) caps every trajectory at 2^d - 1 leapfrogs."""
     X, y = get_dummy_data()
