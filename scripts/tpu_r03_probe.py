@@ -370,11 +370,16 @@ def bwd_variants():
     g = jnp.float32(1.0)
 
     def loop_time(fn, X):
+        # Ghost-proof harness: ADDITIVE accumulating perturbation (defeats
+        # hoisting — CLAUDE.md) AND a full-output reduction into the carry
+        # (defeats slice-pruning: carrying ravel(out)[0] lets XLA prune the
+        # whole matmul to one output element — the r03 bwd_variants first run
+        # "measured" 0.017 ms for an 8192^3 WtW).
         @jax.jit
         def looped(X):
             def body(i, acc):
                 out = fn(X + acc * 1e-20)
-                return acc + jnp.ravel(out)[0] * 1e-20 + 1e-24
+                return acc + jnp.ravel(out).sum() * 1e-20 + 1e-24
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
         r = looped(X)
         jax.block_until_ready(r)
