@@ -319,8 +319,14 @@ def bench_mtgp_bo():
     # segment_size: one 2000-iteration program over the LCM kernel faulted the
     # TPU runtime (duration-fault class, N8192_NOTE.md); bounded segments with
     # exact adaptation carry-over avoid it
+    # target_accept 0.7: this posterior runs deep trees at the 0.8 default
+    # (CPU A/B, posterior-geometry is platform-independent: 131 leapfrogs/
+    # transition at 0.8 vs 45 at 0.7 with IDENTICAL posterior quality — noise
+    # 0.0852+/-0.160 vs 0.0857+/-0.164, same EI argmax, same predictive RMSE,
+    # 0 divergences at both; 0.6 cut further but produced divergences)
     mtgp.fit(key_fit, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
              num_warmup=1000, num_samples=1000, segment_size=250,
+             target_accept_prob=0.7,
              print_summary=False, progress_bar=False)
     fit_s = time.time() - t0
     grid = np.linspace(0, 2, 101)
