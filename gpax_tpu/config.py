@@ -66,6 +66,16 @@ class Config:
     # split-f32 hi+lo bf16 (3 one-pass MXU matmuls, ~1e-6 rel err),
     # 'highest' = 6-pass full f32, 'default' = single bf16 pass (~4e-3 err).
     wtw_precision: str = "compensated"
+    # Gauge of the K-cotangent returned by mvn_log_prob_centered's backward:
+    # 'exact' returns the symmetric dK; 'symmetric_equivalent' returns a
+    # matrix with the SAME symmetric part but unconstrained antisymmetric
+    # part, dropping one n³ MXU pass + one n² transpose from the compensated
+    # WᵀW (hiᵀhi + 2·hiᵀlo instead of hiᵀhi + cross + crossᵀ).  Valid because
+    # K is constrained symmetric: every legitimate consumer contracts dK
+    # against ij-symmetric sensitivities ∂K_ij/∂θ (K is always built as
+    # k(x_i,x_j) with k symmetric + diagonal noise), so the antisymmetric
+    # part cancels identically.  Only read when wtw_precision='compensated'.
+    mvn_dk_gauge: str = "exact"
 
 
 _config = Config()

@@ -130,7 +130,7 @@ def chol_tri_factors(K: jnp.ndarray, base_jitter: float = 0.0
     return L, W
 
 
-def wtw_compensated(W: jnp.ndarray) -> jnp.ndarray:
+def wtw_compensated(W: jnp.ndarray, symmetric_consumer: bool = False) -> jnp.ndarray:
     """K⁻¹ = WᵀW via split-f32: W = hi + lo (hi = bf16(W)), so
 
         WᵀW ≈ hiᵀhi + (hiᵀlo + (hiᵀlo)ᵀ)        (loᵀlo ~ 2⁻²² relative, dropped)
@@ -139,10 +139,18 @@ def wtw_compensated(W: jnp.ndarray) -> jnp.ndarray:
     chip at n=8192 (PROFILE_r03.jsonl mvn_ablate): the HIGHEST backward WᵀW
     block costs 42 ms vs 15.6 ms single-pass; this form gets single-pass-class
     speed with ~1e-6 relative error instead of bf16's ~4e-3 — the 'compensated
-    backward WᵀW' lever deferred from round 2 (CLAUDE.md)."""
+    backward WᵀW' lever deferred from round 2 (CLAUDE.md).
+
+    ``symmetric_consumer``: the caller only ever contracts the result against
+    symmetric matrices (⟨A, S⟩ with Sᵀ=S depends only on A's symmetric part),
+    so ``hiᵀhi + 2·hiᵀlo`` — same symmetric part — is returned instead,
+    dropping one n³ MXU pass and the n² transpose.  Only affects the
+    'compensated' mode (the others are single products, already symmetric)
+    and only when Config.mvn_dk_gauge == 'symmetric_equivalent'."""
     from ..config import get_config
 
-    mode = get_config().wtw_precision
+    cfg = get_config()
+    mode = cfg.wtw_precision
     if mode == "highest":
         return jnp.matmul(jnp.swapaxes(W, -1, -2), W,
                           precision=jax.lax.Precision.HIGHEST)
@@ -157,6 +165,8 @@ def wtw_compensated(W: jnp.ndarray) -> jnp.ndarray:
                           preferred_element_type=W.dtype)
 
     main = tdot(hi, hi)
+    if symmetric_consumer and cfg.mvn_dk_gauge == "symmetric_equivalent":
+        return main + 2.0 * tdot(hi, lo)
     cross = tdot(hi, lo)
     return main + (cross + jnp.swapaxes(cross, -1, -2))
 
@@ -174,6 +184,12 @@ def mvn_log_prob_centered(K: jnp.ndarray, diff: jnp.ndarray) -> jnp.ndarray:
     generic Cholesky VJP (measured 2.5× faster per leapfrog at n=4096).
     Non-finite residuals are zeroed in the backward pass, so escalated/failed
     factorizations yield zero (not NaN) gradients under ``where`` masking.
+
+    Gauge note: K is constrained symmetric, so its cotangent is only defined
+    up to an antisymmetric part (⟨dK, ∂K/∂θ⟩ with symmetric ∂K/∂θ).  Under
+    ``Config.mvn_dk_gauge='symmetric_equivalent'`` the backward returns a dK
+    with the correct symmetric part but a nonzero antisymmetric part (one
+    fewer n³ MXU pass); with the default ``'exact'`` gauge dK is symmetric.
     """
     return _mvn_lp_fwd(K, diff)[0]
 
@@ -207,8 +223,11 @@ def _mvn_lp_bwd(res, g):
     W, alpha = jax.lax.optimization_barrier((W, alpha))
     beta = jnp.einsum("...ji,...j->...i", W, alpha)
     # the dominant n³ term of every leapfrog backward: split-f32 compensated
-    # (3 one-pass matmuls, ~1e-6 rel err) — see wtw_compensated
-    Kinv = wtw_compensated(W)
+    # (3 one-pass matmuls, ~1e-6 rel err) — see wtw_compensated.  dK is only
+    # ever contracted against ij-symmetric sensitivities ∂K/∂θ (K is built
+    # symmetric), so under Config.mvn_dk_gauge='symmetric_equivalent' the
+    # cheaper same-symmetric-part form is used (one fewer n³ pass).
+    Kinv = wtw_compensated(W, symmetric_consumer=True)
     bb = jnp.einsum("...i,...j->...ij", beta, beta)
     dK = 0.5 * g[..., None, None] * (bb - Kinv)
     ddiff = -g[..., None] * beta

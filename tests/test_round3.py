@@ -242,3 +242,50 @@ def test_sequential_multichain_segmented():
            print_summary=False, progress_bar=False)
     s = gp.get_samples(chain_dim=True)
     assert s["noise"].shape == (2, 20)
+
+
+def test_mvn_dk_gauge_symmetric_equivalent():
+    """'symmetric_equivalent' dK gauge: same symmetric part as 'exact' (so
+    identical theta-gradients through any symmetric K construction), cheaper
+    antisymmetric gauge otherwise."""
+    from gpax_tpu import set_config
+    from gpax_tpu.ops.linalg import mvn_log_prob_centered
+    from gpax_tpu.kernels import get_kernel
+
+    n = 96
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.uniform(-2, 2, (n, 1)), jnp.float32)
+    y = jnp.sin(2 * X[:, 0])
+    kern = get_kernel("RBF")
+
+    def potential(theta):
+        params = {"k_length": jnp.exp(theta[0]), "k_scale": jnp.exp(theta[1])}
+        K = kern(X, X, params, noise=jnp.exp(theta[2]))
+        return -mvn_log_prob_centered(K, y)
+
+    theta = jnp.asarray([0.1, -0.2, -3.0], jnp.float32)
+    K = kern(X, X, {"k_length": 1.0, "k_scale": 1.0}, noise=0.05)
+    try:
+        set_config(mvn_dk_gauge="symmetric_equivalent")
+        g_gauge = jax.grad(potential)(theta)
+        dK_gauge = jax.grad(lambda K: mvn_log_prob_centered(K, y))(K)
+    finally:
+        set_config(mvn_dk_gauge="exact")
+    g_exact = jax.grad(potential)(theta)
+    dK_exact = jax.grad(lambda K: mvn_log_prob_centered(K, y))(K)
+
+    # theta-gradients through the (symmetric) kernel construction agree to
+    # f32 summation-order noise (the antisymmetric part cancels exactly in
+    # real arithmetic; different accumulation orders leave ~1e-4 relative)
+    np.testing.assert_allclose(np.asarray(g_gauge), np.asarray(g_exact),
+                               rtol=1e-3, atol=1e-5)
+    # raw dK differs only by an antisymmetric part: symmetric parts match
+    sym_g = 0.5 * (dK_gauge + dK_gauge.T)
+    sym_e = 0.5 * (dK_exact + dK_exact.T)
+    scale = float(jnp.max(jnp.abs(sym_e)))
+    assert float(jnp.max(jnp.abs(sym_g - sym_e))) / scale < 1e-4
+    # and any symmetric contraction agrees
+    S = jnp.asarray(rng.normal(size=(n, n)), jnp.float32)
+    S = S + S.T
+    a, b = float(jnp.vdot(dK_gauge, S)), float(jnp.vdot(dK_exact, S))
+    assert abs(a - b) / max(abs(b), 1e-6) < 1e-3
