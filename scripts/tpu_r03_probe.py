@@ -431,6 +431,13 @@ def bwd_variants():
     out["bwd_current_ms"] = loop_time(bwd_current, W) * 1e3
     out["bwd_scalar_mask_ms"] = loop_time(bwd_scalar_mask, W) * 1e3
     out["bwd_2cross_scalar_mask_ms"] = loop_time(bwd_2cross_scalar_mask, W) * 1e3
+    # the WIRED dispatch: _mvn_lp_bwd under Config.mvn_dk_gauge (config is
+    # read at trace time; fresh lambda => fresh trace)
+    from gpax_tpu import set_config
+    set_config(mvn_dk_gauge="symmetric_equivalent")
+    out["bwd_gauge_ms"] = loop_time(
+        lambda W: _mvn_lp_bwd((W, alpha, diff.shape), g)[0], W) * 1e3
+    set_config(mvn_dk_gauge="exact")
     # parity of the 2cross trick under a symmetric consumer
     dK_a = _mvn_lp_bwd((W, alpha, diff.shape), g)[0]
     dK_b = bwd_2cross_scalar_mask(W)
