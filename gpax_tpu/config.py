@@ -75,7 +75,9 @@ class Config:
     # against ij-symmetric sensitivities ∂K_ij/∂θ (K is always built as
     # k(x_i,x_j) with k symmetric + diagonal noise), so the antisymmetric
     # part cancels identically.  Only read when wtw_precision='compensated'.
-    mvn_dk_gauge: str = "exact"
+    # Measured on chip at n=8192 (PROFILE_r03 bwd_variants, fixed harness):
+    # wired backward 19.8 ms vs 21.7 ms exact — DEFAULT.
+    mvn_dk_gauge: str = "symmetric_equivalent"
 
 
 _config = Config()

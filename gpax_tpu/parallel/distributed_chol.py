@@ -173,8 +173,10 @@ def make_sharded_mvn_log_prob(mesh: Mesh, axis_name: Optional[str] = None,
         alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
         beta = W.T @ alpha
         # split-f32 compensated WᵀW (3 one-pass matmuls vs HIGHEST's 6; see
-        # ops.linalg.wtw_compensated) — XLA shards the bf16 matmuls the same
-        Kinv = pin(_linalg.wtw_compensated(W))
+        # ops.linalg.wtw_compensated) — XLA shards the bf16 matmuls the same.
+        # dK here, as in ops.linalg._mvn_lp_bwd, is only contracted against
+        # symmetric ∂K/∂θ — the cheaper symmetric-equivalent gauge applies.
+        Kinv = pin(_linalg.wtw_compensated(W, symmetric_consumer=True))
         bb = beta[:, None] * beta[None, :]
         dK = 0.5 * g * (bb - Kinv)
         ddiff = -g * beta

@@ -194,7 +194,12 @@ def test_mvn_log_prob_centered_value_and_grads():
 
         gK_f, gy_f = jax.grad(lambda K, y: f_fast(K, y), argnums=(0, 1))(K, y)
         gK_x, gy_x = jax.grad(lambda K, y: f_xla(K, y), argnums=(0, 1))(K, y)
-        gK_x = 0.5 * (gK_x + gK_x.T)  # symmetric-gradient convention
+        # symmetric-gradient convention for BOTH: K is constrained symmetric,
+        # so only the symmetric part of a K-cotangent is defined (the fast
+        # path's default 'symmetric_equivalent' gauge leaves a nonzero
+        # antisymmetric part by design — see Config.mvn_dk_gauge)
+        gK_f = 0.5 * (gK_f + gK_f.T)
+        gK_x = 0.5 * (gK_x + gK_x.T)
         sK = jnp.max(jnp.abs(gK_x))
         assert jnp.max(jnp.abs(gK_f - gK_x)) / sK < 5e-3
         assert jnp.max(jnp.abs(gy_f - gy_x)) / jnp.max(jnp.abs(gy_x)) < 5e-3

@@ -265,14 +265,17 @@ def test_mvn_dk_gauge_symmetric_equivalent():
 
     theta = jnp.asarray([0.1, -0.2, -3.0], jnp.float32)
     K = kern(X, X, {"k_length": 1.0, "k_scale": 1.0}, noise=0.05)
+    from gpax_tpu.config import get_config
+    prior_gauge = get_config().mvn_dk_gauge
     try:
         set_config(mvn_dk_gauge="symmetric_equivalent")
         g_gauge = jax.grad(potential)(theta)
         dK_gauge = jax.grad(lambda K: mvn_log_prob_centered(K, y))(K)
-    finally:
         set_config(mvn_dk_gauge="exact")
-    g_exact = jax.grad(potential)(theta)
-    dK_exact = jax.grad(lambda K: mvn_log_prob_centered(K, y))(K)
+        g_exact = jax.grad(potential)(theta)
+        dK_exact = jax.grad(lambda K: mvn_log_prob_centered(K, y))(K)
+    finally:
+        set_config(mvn_dk_gauge=prior_gauge)
 
     # theta-gradients through the (symmetric) kernel construction agree to
     # f32 summation-order noise (the antisymmetric part cancels exactly in
