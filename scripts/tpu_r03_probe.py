@@ -117,6 +117,48 @@ def mtgp_prof(rank=2, tag="mtgp_prof"):
            projected_1000x1000_s=float(warm_ms / 1e3 * seg_leap.sum() * 10))
 
 
+def mtgp_floor():
+    """Decompose small-n NUTS wall-clock into per-TRANSITION fixed cost and
+    per-LEAPFROG cost: two same-process runs with different depth caps give
+    wall = T*c_trans + L*c_leap with the same T and very different L.
+    Motivated by the mtgp bench: cutting leapfrogs 6.1x (target_accept 0.7)
+    left wall-clock unchanged (149.5 -> 178/214 s across tunnel variance)."""
+    from gpax_tpu.ppl import initialize_model
+    from gpax_tpu.infer.nuts import run_nuts_segmented
+
+    mtgp, X, y = _mtgp_setup(rank=1)
+    info = initialize_model(mtgp.model, jax.random.PRNGKey(0), (X, y))
+
+    T = 200  # 100 warmup + 100 samples
+    out = {"probe": "mtgp_floor", "transitions": T}
+    meas = {}
+    for depth in (2, 10):
+        t0 = time.time()
+        zs, stats, _ = run_nuts_segmented(
+            info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(2),
+            num_warmup=100, num_samples=100, max_tree_depth=depth,
+            target_accept_prob=0.7, segment_size=50)
+        total_s = time.time() - t0
+        seg_wall = np.asarray(stats["segment_wall_s"])
+        seg_leap = np.asarray(stats["segment_leapfrogs"], np.float64)
+        # warm segments only (segment 1 carries the compile)
+        warm_wall = float(seg_wall[1:].sum())
+        warm_leap = float(seg_leap[1:].sum())
+        warm_T = T - 50
+        meas[depth] = (warm_wall, warm_leap, warm_T)
+        out[f"d{depth}_total_s"] = total_s
+        out[f"d{depth}_warm_wall_s"] = warm_wall
+        out[f"d{depth}_warm_leapfrogs"] = warm_leap
+        out[f"d{depth}_seg_wall"] = [round(float(s), 2) for s in seg_wall]
+    (w2, l2, t2), (w10, l10, t10) = meas[2], meas[10]
+    # same warm transition count: subtract to isolate the leapfrog term
+    c_leap = (w10 - w2) / max(l10 - l2, 1.0)
+    c_trans = (w2 - l2 * c_leap) / t2
+    out["ms_per_leapfrog"] = c_leap * 1e3
+    out["ms_per_transition_fixed"] = c_trans * 1e3
+    record(**out)
+
+
 def exact8k_ab():
     import gpax_tpu
     from gpax_tpu.ppl import initialize_model
