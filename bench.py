@@ -342,9 +342,22 @@ def bench_mtgp_bo():
     stats = mtgp.mcmc.get_extra_fields()
     seg_leap = np.asarray(stats.get("segment_leapfrogs", []), dtype=np.float64)
     leapfrogs = float(seg_leap.sum()) if seg_leap.size else -1.0
+    extra_timing = {}
+    seg_wall = np.asarray(stats.get("segment_wall_s", []))
+    if seg_wall.size > 2 and seg_leap.size == seg_wall.size:
+        # segment telemetry splits compile/setup from steady-state sampling —
+        # at this tiny n the fit is compile-dominated (measured 0.66 ms/
+        # transition + 0.094 ms/leapfrog warm; PROFILE_r03 mtgp_floor)
+        warm_s = float(seg_wall[1:].sum())
+        extra_timing["warm_sampling_s"] = warm_s
+        extra_timing["est_compile_s"] = max(fit_s - warm_s, 0.0)
+        extra_timing["seg_wall_s"] = [round(float(s), 2) for s in seg_wall]
+    for k, v in getattr(mtgp.mcmc, "timing", {}).items():
+        extra_timing[f"phase_{k}"] = v
     emit(
         f"mtgp_bo_n{n_lo}+{n_hi}_nuts1000+1000_fit_wallclock",
         fit_s, "s", None,
+        **extra_timing,
         leapfrogs=leapfrogs,
         leapfrogs_per_s=leapfrogs / fit_s if leapfrogs > 0 else -1.0,
         accept_rate=float(np.asarray(stats["accept_prob"]).mean()),

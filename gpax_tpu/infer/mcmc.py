@@ -47,9 +47,13 @@ class MCMC:
         self._model_kwargs: Dict = {}
 
     def run(self, rng_key, *model_args, extra_fields=(), init_params=None, **model_kwargs):
+        import time as _time
+
         model = self.kernel.model
         self._model_args = model_args
         self._model_kwargs = model_kwargs
+        self.timing: Dict[str, float] = {}
+        _t0 = _time.perf_counter()
 
         key_init, key_run = jax.random.split(rng_key)
         info = initialize_model(
@@ -57,6 +61,9 @@ class MCMC:
             init_strategy=self.kernel.init_strategy,
         )
         init_z = info.init_unconstrained if init_params is None else init_params
+        jax.block_until_ready(jax.tree_util.tree_leaves(init_z)[0])
+        self.timing["initialize_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         def one_chain(key, z0):
             zs, stats, unravel = run_nuts(
@@ -173,6 +180,10 @@ class MCMC:
                 )
             zs, stats = run(chain_keys, z0s)
 
+        jax.block_until_ready(zs)
+        self.timing["sample_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+
         # unflatten + constrain + collect deterministic sites, vmapped over (chain, draw)
         _, unravel = jax.flatten_util.ravel_pytree(init_z)
 
@@ -189,6 +200,9 @@ class MCMC:
             return out
 
         self._samples_by_chain = jax.jit(jax.vmap(jax.vmap(postprocess)))(zs)
+        jax.block_until_ready(
+            jax.tree_util.tree_leaves(self._samples_by_chain)[0])
+        self.timing["postprocess_s"] = _time.perf_counter() - _t0
         self._stats = stats
         return self
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..distributions import Normal, biject_to
-from ..ppl import get_latent_sites, log_density
+from ..ppl import get_latent_sites, get_latent_structure, log_density
 from ..ppl.util import constrain, transform_log_det, unconstrain
 
 
@@ -36,10 +36,14 @@ class AutoGuide:
         self.prototype_initialized = False
 
     def _setup(self, rng_key, model_args, model_kwargs):
-        sites = get_latent_sites(self.model, rng_key, model_args, model_kwargs)
-        self._transforms = {n: biject_to(s["fn"].support) for n, s in sites.items()}
-        self._init_values = {n: s["value"] for n, s in sites.items()}
-        self._site_shapes = {n: s["value"].shape for n, s in sites.items()}
+        # one compiled trace program instead of an eager model forward pass
+        # (~tens of per-process sub-cache-threshold compiles on the remote
+        # runtime — see ppl.util.get_latent_structure)
+        values, supports = get_latent_structure(
+            self.model, rng_key, model_args, model_kwargs)
+        self._transforms = {n: biject_to(s) for n, s in supports.items()}
+        self._init_values = values
+        self._site_shapes = {n: v.shape for n, v in values.items()}
         self.prototype_initialized = True
 
     def init_params(self, rng_key, model_args=(), model_kwargs=None) -> Dict:
@@ -188,13 +192,18 @@ class SVI:
 
     def _collect_model_params(self, rng_key, model_args, model_kwargs):
         """Trace the model once to find numpyro.param-style sites (e.g. trainable
-        inducing inputs Xu, sparse_gp.py:70-71) — these are optimized jointly."""
+        inducing inputs Xu, sparse_gp.py:70-71) — these are optimized jointly.
+        The trace runs as one compiled program (same rationale as
+        ppl.util.get_latent_structure: an eager model forward pass is tens of
+        per-process sub-cache-threshold compiles on the remote runtime)."""
         from ..ppl import seed, trace
 
-        tr = trace(seed(self.model, rng_key)).get_trace(*model_args, **model_kwargs)
-        return {
-            n: s["init_value"] for n, s in tr.items() if s["type"] == "param"
-        }
+        def prog(key):
+            tr = trace(seed(self.model, key)).get_trace(*model_args, **model_kwargs)
+            return {n: s["init_value"] for n, s in tr.items()
+                    if s["type"] == "param"}
+
+        return jax.jit(prog)(rng_key)
 
     def run(self, rng_key, num_steps: int, *model_args, progress_bar: bool = False,
             **model_kwargs) -> SVIRunResult:

@@ -35,6 +35,37 @@ def get_latent_sites(model, rng_key, model_args=(), model_kwargs=None) -> Dict[s
     }
 
 
+def get_latent_structure(model, rng_key, model_args=(), model_kwargs=None,
+                         jit_trace: bool = True
+                         ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, object]]:
+    """(prior-draw values, supports) for every latent site, with the forward
+    trace compiled into ONE program (``jit_trace``) instead of dispatching the
+    model's ops eagerly — on a remote-executed runtime each eager dispatch is
+    a tiny sub-cache-threshold compile repaid by EVERY process (measured 43 s
+    per multitask-GP fit; PROFILE_r03 mtgp_setup_cost).  Falls back to the
+    eager trace when a support holds traced parameters."""
+    model_kwargs = model_kwargs or {}
+    if jit_trace:
+        meta: Dict[str, dict] = {}
+
+        def prog(key):
+            tr = trace(seed(model, key)).get_trace(*model_args, **model_kwargs)
+            out = {}
+            for n, s in tr.items():
+                if s["type"] == "sample" and not s["is_observed"]:
+                    meta[n] = s  # trace-time host capture
+                    out[n] = s["value"]
+            return out
+
+        values = jax.jit(prog)(rng_key)
+        if meta and not any(_support_holds_tracer(s["fn"].support)
+                            for s in meta.values()):
+            return values, {n: s["fn"].support for n, s in meta.items()}
+    sites = get_latent_sites(model, rng_key, model_args, model_kwargs)
+    return ({n: s["value"] for n, s in sites.items()},
+            {n: s["fn"].support for n, s in sites.items()})
+
+
 def constrain(transforms: Dict, unconstrained: Dict) -> Dict:
     return {k: transforms[k](v) for k, v in unconstrained.items()}
 
@@ -78,9 +109,86 @@ def init_to_median(model, rng_key, model_args=(), model_kwargs=None, num_samples
     return init
 
 
+def _support_holds_tracer(support) -> bool:
+    vals = vars(support).values() if hasattr(support, "__dict__") else ()
+    for v in vals:
+        if isinstance(v, jax.core.Tracer):
+            return True
+        if isinstance(v, (tuple, list)) and any(
+                isinstance(x, jax.core.Tracer) for x in v):
+            return True
+    return False
+
+
+def _initialize_model_jit(model, rng_key, model_args, model_kwargs,
+                          init_strategy, num_init_samples):
+    """The whole init path (structure trace + median-of-prior draws +
+    unconstrain) as ONE compiled program.
+
+    The eager equivalent dispatches every op in the model's forward pass plus
+    ~3 ops per latent individually; on a remote-executed runtime each eager
+    dispatch compiles a tiny program that is below the persistent-cache
+    threshold, so EVERY process repays it — measured 43 s per fit for the
+    multitask model (PROFILE_r03 mtgp_setup_cost) vs one >1 s (persistently
+    cached) compile here.  model_args stay closed-over, so data is concrete
+    at trace time (models may branch on it); only RNG/draws are traced.
+
+    Returns None when a latent's support holds traced parameters (e.g. a
+    Uniform whose bounds were sampled upstream) — the transforms would leak
+    tracers — and the caller falls back to the eager path.
+    """
+    meta: Dict[str, dict] = {}
+
+    def init_program(key):
+        tr = trace(seed(model, key)).get_trace(*model_args, **model_kwargs)
+        out = {}
+        i = 0
+        for name, site in tr.items():
+            if site["type"] != "sample" or site["is_observed"]:
+                continue
+            meta[name] = site  # trace-time host capture (values are tracers)
+            if init_strategy == "median":
+                k = jax.random.fold_in(key, i)
+                i += 1
+                draws = site["fn"].sample(
+                    k, (num_init_samples,) + tuple(site["sample_shape"]))
+                out[name] = jnp.median(draws, axis=0)
+            else:  # "prior"
+                out[name] = site["value"]
+        return out
+
+    init_constrained = jax.jit(init_program)(rng_key)
+    if not meta:
+        return None
+    supports = {}
+    for name, site in meta.items():
+        sup = site["fn"].support
+        if _support_holds_tracer(sup):
+            return None
+        supports[name] = sup
+    transforms = {n: biject_to(s) for n, s in supports.items()}
+    init_unconstrained = jax.jit(
+        lambda c: unconstrain(transforms, c))(init_constrained)
+    potential_fn = make_potential_fn(model, transforms, model_args, model_kwargs)
+
+    def constrain_fn(z):
+        return constrain(transforms, z)
+
+    return ModelInfo(potential_fn, init_unconstrained, transforms, constrain_fn,
+                     meta)
+
+
 def initialize_model(model, rng_key, model_args=(), model_kwargs=None,
-                     init_strategy: str = "median", num_init_samples: int = 10) -> ModelInfo:
+                     init_strategy: str = "median", num_init_samples: int = 10,
+                     jit_init: bool = True) -> ModelInfo:
     model_kwargs = model_kwargs or {}
+    if init_strategy not in ("median", "prior"):
+        raise ValueError(f"unknown init strategy {init_strategy}")
+    if jit_init:
+        info = _initialize_model_jit(model, rng_key, model_args, model_kwargs,
+                                     init_strategy, num_init_samples)
+        if info is not None:
+            return info
     tr = trace(seed(model, rng_key)).get_trace(*model_args, **model_kwargs)
     latent_sites = {
         n: s for n, s in tr.items() if s["type"] == "sample" and not s["is_observed"]
@@ -90,10 +198,8 @@ def initialize_model(model, rng_key, model_args=(), model_kwargs=None,
         init_constrained = init_to_median(
             model, rng_key, model_args, model_kwargs, num_init_samples, latent_sites
         )
-    elif init_strategy == "prior":
-        init_constrained = {n: s["value"] for n, s in latent_sites.items()}
     else:
-        raise ValueError(f"unknown init strategy {init_strategy}")
+        init_constrained = {n: s["value"] for n, s in latent_sites.items()}
     init_unconstrained = unconstrain(transforms, init_constrained)
     potential_fn = make_potential_fn(model, transforms, model_args, model_kwargs)
 

@@ -159,6 +159,54 @@ def mtgp_floor():
     record(**out)
 
 
+def mtgp_setup_cost():
+    """Timestamp the pre-segment phases of a small-n fit: the mtgp bench
+    measured 7.8 s IN segments and ~86 s outside them (seg telemetry)."""
+    import gpax_tpu
+    from gpax_tpu.ppl import initialize_model
+    from gpax_tpu.infer.nuts import run_nuts_segmented
+    from gpax_tpu.infer.hmc_util import find_reasonable_step_size
+
+    mtgp, X, y = _mtgp_setup(rank=1)
+    out = {"probe": "mtgp_setup_cost"}
+
+    t0 = time.time()
+    info = initialize_model(mtgp.model, jax.random.PRNGKey(0), (X, y))
+    out["initialize_model_s"] = time.time() - t0
+
+    zf, unravel = jax.flatten_util.ravel_pytree(info.init_unconstrained)
+    pg = jax.value_and_grad(lambda z: info.potential_fn(unravel(z)))
+
+    t0 = time.time()
+    u0, g0 = jax.jit(pg)(zf)
+    jax.block_until_ready(u0)
+    out["potgrad_jit_s"] = time.time() - t0
+
+    inv_mass = jnp.ones((zf.shape[0],), zf.dtype)
+    t0 = time.time()
+    eps0 = jax.jit(lambda k: find_reasonable_step_size(pg, zf, inv_mass, k, 1.0))(
+        jax.random.PRNGKey(1))
+    jax.block_until_ready(eps0)
+    out["find_eps_jit_s"] = time.time() - t0
+
+    t0 = time.time()
+    zs, stats, _ = run_nuts_segmented(
+        info.potential_fn, info.init_unconstrained, jax.random.PRNGKey(2),
+        num_warmup=100, num_samples=100, max_tree_depth=10,
+        target_accept_prob=0.7, segment_size=50)
+    out["run_100_100_s"] = time.time() - t0
+    out["seg_wall"] = [round(float(s), 2)
+                       for s in np.asarray(stats["segment_wall_s"])]
+
+    # the model-level path (what the bench pays), second time in-process
+    t0 = time.time()
+    mtgp.fit(jax.random.PRNGKey(3), X, y, num_warmup=100, num_samples=100,
+             target_accept_prob=0.7, segment_size=50,
+             print_summary=False, progress_bar=False)
+    out["model_fit_100_100_s"] = time.time() - t0
+    record(**out)
+
+
 def exact8k_ab():
     import gpax_tpu
     from gpax_tpu.ppl import initialize_model
