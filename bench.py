@@ -143,6 +143,8 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
         max_depth=max_depth,
         timing=compiled_note,
     )
+    for k, v in getattr(gp.mcmc, "timing", {}).items():
+        extra[f"phase_{k}"] = v
     seg_wall = np.asarray(stats.get("segment_wall_s", []))
     if seg_wall.size > 2 and seg_leap.size == seg_wall.size:
         # segment 1 carries the (tunnel-dependent, multi-minute) compile;
