@@ -131,7 +131,11 @@ def _initialize_model_jit(model, rng_key, model_args, model_kwargs,
     threshold, so EVERY process repays it — measured 43 s per fit for the
     multitask model (PROFILE_r03 mtgp_setup_cost) vs one >1 s (persistently
     cached) compile here.  model_args stay closed-over, so data is concrete
-    at trace time (models may branch on it); only RNG/draws are traced.
+    at trace time (models may branch on it — e.g. CoregGP infers num_tasks
+    from X on its first concrete trace); only RNG/draws are traced.  The
+    program is therefore value-specialized: a refit with new data compiles a
+    fresh (small) init program — still far cheaper than the eager dispatch
+    it replaces, at every n.
 
     Returns None when a latent's support holds traced parameters (e.g. a
     Uniform whose bounds were sampled upstream) — the transforms would leak
