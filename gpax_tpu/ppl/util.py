@@ -241,9 +241,12 @@ class Predictive:
                     keep[name] = site["value"]
             return keep
 
+        # jit around the vmap: a bare vmap executes its batched ops eagerly,
+        # which on the remote-executed runtime costs a sub-cache-threshold
+        # compile per op per process (see get_latent_structure)
         if self.posterior_samples is not None:
             n = len(next(iter(self.posterior_samples.values())))
             keys = jax.random.split(rng_key, n)
-            return jax.vmap(single)(keys, self.posterior_samples)
+            return jax.jit(jax.vmap(single))(keys, self.posterior_samples)
         keys = jax.random.split(rng_key, self.num_samples)
-        return jax.vmap(lambda k: single(k, {}))(keys)
+        return jax.jit(jax.vmap(lambda k: single(k, {})))(keys)
