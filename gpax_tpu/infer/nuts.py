@@ -416,10 +416,14 @@ def run_nuts_segmented(
 
     inv_mass0 = jnp.eye(dim, dtype=dtype) if dense_mass else jnp.ones((dim,), dtype)
     k_eps, k_run = jax.random.split(rng_key)
-    eps0 = jax.jit(
-        lambda k: find_reasonable_step_size(potential_grad, z0_flat, inv_mass0, k, init_step_size)
+    # ONE setup program (step-size search + initial potential/grad): every
+    # extra program call through the remote runtime is a load+dispatch round
+    # trip even cache-warm
+    eps0, (u0, g0) = jax.jit(
+        lambda k: (find_reasonable_step_size(potential_grad, z0_flat, inv_mass0,
+                                             k, init_step_size),
+                   potential_grad(z0_flat))
     )(k_eps)
-    u0, g0 = jax.jit(potential_grad)(z0_flat)
     state0 = NUTSState(
         z=z0_flat, potential=u0, grad=g0, step_size=eps0, inv_mass=inv_mass0,
         rng_key=k_run, accept_prob=jnp.zeros((), dtype),
@@ -521,11 +525,12 @@ def run_nuts_segmented_chains(
     k_eps, k_run = jax.random.split(rng_key)
     eps_keys = jax.random.split(k_eps, num_chains)
     run_keys = jax.random.split(k_run, num_chains)
-    eps0 = jax.jit(jax.vmap(
-        lambda z, k: find_reasonable_step_size(
-            potential_grad, z, inv_mass0, k, init_step_size)
+    # ONE vmapped setup program (see run_nuts_segmented)
+    eps0, (u0, g0) = jax.jit(jax.vmap(
+        lambda z, k: (find_reasonable_step_size(
+            potential_grad, z, inv_mass0, k, init_step_size),
+            potential_grad(z))
     ))(z0_flat, eps_keys)
-    u0, g0 = jax.jit(jax.vmap(potential_grad))(z0_flat)
     state0 = NUTSState(
         z=z0_flat, potential=u0, grad=g0, step_size=eps0,
         inv_mass=jnp.broadcast_to(inv_mass0, (num_chains,) + inv_mass0.shape),
