@@ -60,8 +60,10 @@ class MCMC:
             model, key_init, model_args, model_kwargs,
             init_strategy=self.kernel.init_strategy,
         )
+        from .nuts import _host_sync
+
         init_z = info.init_unconstrained if init_params is None else init_params
-        jax.block_until_ready(jax.tree_util.tree_leaves(init_z)[0])
+        _host_sync(jax.tree_util.tree_leaves(init_z)[0])
         self.timing["initialize_s"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
 
@@ -180,7 +182,7 @@ class MCMC:
                 )
             zs, stats = run(chain_keys, z0s)
 
-        jax.block_until_ready(zs)
+        _host_sync(zs)
         self.timing["sample_s"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
 
@@ -200,8 +202,7 @@ class MCMC:
             return out
 
         self._samples_by_chain = jax.jit(jax.vmap(jax.vmap(postprocess)))(zs)
-        jax.block_until_ready(
-            jax.tree_util.tree_leaves(self._samples_by_chain)[0])
+        _host_sync(jax.tree_util.tree_leaves(self._samples_by_chain)[0])
         self.timing["postprocess_s"] = _time.perf_counter() - _t0
         self._stats = stats
         return self

@@ -323,6 +323,18 @@ def run_nuts(
     return zs, stats, unravel
 
 
+def _host_sync(x) -> float:
+    """True execution barrier: fetch one element to the host.
+
+    On the remote-executed runtime, ``block_until_ready`` has been observed to
+    acknowledge at ENQUEUE time under load (per-segment walls of ~0.3 ms for
+    ~10 s of leapfrog work, "665k leapfrogs/s" ghosts in a bench line); a
+    host transfer cannot complete before the producing program has executed,
+    so segment telemetry stays honest.  Costs one scalar fetch.
+    """
+    return float(jax.device_get(jnp.ravel(x)[-1]))
+
+
 def _warmup_xs(num_warmup: int, num_samples: int):
     """Per-step adaptation flags for the warmup+sampling scan."""
     in_window, window_end = warmup_schedule(num_warmup)
@@ -453,7 +465,7 @@ def run_nuts_segmented(
         xs_seg = tuple(jnp.asarray(x[sl]) for x in xs_np)
         t0 = _time.perf_counter()
         carry, (zs, stats) = seg_scan(carry, xs_seg)
-        jax.block_until_ready(zs)
+        _host_sync(carry[0].z)  # true barrier (see _host_sync)
         seg_wall.append(_time.perf_counter() - t0)
         zs_parts.append(zs)
         stats_parts.append(stats)
@@ -578,7 +590,7 @@ def run_nuts_segmented_chains(
         xs_seg = tuple(jnp.asarray(x[sl]) for x in xs_np)
         t0 = _time.perf_counter()
         carry, (zs, stats) = seg_scan(carry, xs_seg)
-        jax.block_until_ready(zs)
+        _host_sync(carry[0].z)  # true barrier (see _host_sync)
         seg_wall.append(_time.perf_counter() - t0)
         zs_parts.append(zs)
         stats_parts.append(stats)
