@@ -235,8 +235,8 @@ def panel_cholesky(K: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     L = pl.pallas_call(
         _panel_chol_kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(Kp.shape, Kp.dtype),
         scratch_shapes=[
             pltpu.VMEM((n_pad, PB), Kp.dtype),
@@ -272,8 +272,8 @@ def panel_tri_inv_t(L: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     WT = pl.pallas_call(
         _panel_tri_inv_kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(L.shape, L.dtype),
         scratch_shapes=[
             pltpu.VMEM((n_pad, PB), L.dtype),
