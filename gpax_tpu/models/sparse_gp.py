@@ -155,7 +155,8 @@ class viSparseGP(viGP):
         _, Wb = safe_chol_inv(B)                                        # Lb⁻¹
 
         G = jnp.matmul(Wb, Vs, precision=_HI)                           # (m, s)
-        r = jnp.matmul(Wb, Vd @ y_residual, precision=_HI)              # (m,)
+        r = jnp.matmul(Wb, jnp.matmul(Vd, y_residual, precision=_HI),
+                       precision=_HI)                                   # (m,)
         mean = jnp.matmul(G.T, r, precision=_HI).squeeze()
 
         Kss = self.kernel(X_new, X_new, params, noise_p, **kwargs)
