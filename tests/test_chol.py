@@ -226,12 +226,25 @@ def test_mvn_log_prob_centered_batched_diff():
 
 
 # ---------------------------------------------------------------------------
-# Single-launch panel kernels (ops/panel_chol.py)
+# Single-launch panel kernels (scripts/panel_chol.py — tested NEGATIVE result,
+# kept outside the package so only live code ships; CLAUDE.md "Deferred")
 # ---------------------------------------------------------------------------
+
+def _load_panel_chol():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "panel_chol.py"
+    spec = importlib.util.spec_from_file_location("panel_chol", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
 
 @pytest.mark.parametrize("n", [128, 256, 384, 200])
 def test_panel_cholesky_parity(n):
-    from gpax_tpu.ops.panel_chol import panel_cholesky, panel_tri_inv_t
+    mod = _load_panel_chol()
+    panel_cholesky, panel_tri_inv_t = mod.panel_cholesky, mod.panel_tri_inv_t
 
     K = _spd(n, seed=n)
     L = panel_cholesky(K, True)
@@ -246,7 +259,7 @@ def test_panel_cholesky_parity(n):
 
 
 def test_panel_cholesky_nan_on_indefinite():
-    from gpax_tpu.ops.panel_chol import panel_cholesky
+    panel_cholesky = _load_panel_chol().panel_cholesky
 
     K = _spd(160) - 5.0 * jnp.eye(160)
     L = panel_cholesky(K, True)
@@ -254,7 +267,7 @@ def test_panel_cholesky_nan_on_indefinite():
 
 
 def test_panel_factors_match_blocked():
-    from gpax_tpu.ops.panel_chol import panel_chol_factors
+    panel_chol_factors = _load_panel_chol().panel_chol_factors
 
     n = 256
     K = _spd(n, seed=3)

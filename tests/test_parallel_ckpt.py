@@ -45,8 +45,38 @@ def test_sharded_acquisition_matches_local():
                                       beta=2.0, noiseless=True)
     acq_local = UCB(get_keys()[1], m, X_cand, beta=2.0, noiseless=True)
     assert acq_sharded.shape == (21,)
-    # moments are estimated from per-call random draws; compare argmax + coarse values
-    assert np.allclose(np.asarray(acq_sharded), np.asarray(acq_local), rtol=0.5, atol=0.5)
+    # UCB on ExactGP goes through the deterministic exact-moments path, so the
+    # sharded evaluation must match the local one to partitioning-numerics
+    # precision (measured max-abs-diff ~1e-7 on the 8-device CPU mesh)
+    assert np.allclose(np.asarray(acq_sharded), np.asarray(acq_local),
+                       rtol=1e-4, atol=1e-5)
+    assert int(np.argmax(np.asarray(acq_sharded))) == \
+        int(np.argmax(np.asarray(acq_local)))
+
+
+def test_init_distributed_localhost_smoke():
+    """`parallel.init_distributed` really initializes jax.distributed (VERDICT
+    r03 item 7: exported-but-never-executed path).  Runs in a subprocess —
+    jax.distributed state is process-global and must not leak into the suite."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from gpax_tpu.parallel import init_distributed, get_mesh\n"
+        "n = init_distributed(coordinator_address='localhost:43219',\n"
+        "                     num_processes=1, process_id=0)\n"
+        "assert n >= 1, n\n"
+        "assert get_mesh().devices.size == n\n"
+        "print('OK', n)\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=300)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "OK 4" in r.stdout
 
 
 def test_checkpoint_roundtrip_hmc(tmp_path):
