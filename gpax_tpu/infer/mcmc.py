@@ -41,6 +41,12 @@ class MCMC:
         # segment_size: execute the sampler in bounded Python-driven segments
         # (single-chain only) — progress reporting + bounded device executions
         self.segment_size = segment_size
+        # optional per-segment telemetry hook + soft wall-clock deadline for
+        # the single-chain segmented path (bench harnesses emit provisional
+        # result lines from the callback; the deadline truncates sampling —
+        # never warmup — so a budget-bound run still returns a posterior)
+        self.segment_callback = None
+        self.deadline = None
         self._samples_by_chain: Optional[Dict[str, jnp.ndarray]] = None
         self._stats: Optional[Dict[str, jnp.ndarray]] = None
         self._model_args = ()
@@ -56,20 +62,43 @@ class MCMC:
         _t0 = _time.perf_counter()
 
         key_init, key_run = jax.random.split(rng_key)
+        # defer_init: structure is captured via eval_shape (zero device
+        # programs); the init trace itself fuses into the sampler's compiled
+        # program — a cold fit pays ONE compile round trip through the TPU
+        # tunnel instead of three (VERDICT r03 item 2, ~200 s of the n=4096
+        # headline was the standalone init-program compile)
         info = initialize_model(
             model, key_init, model_args, model_kwargs,
-            init_strategy=self.kernel.init_strategy,
+            init_strategy=self.kernel.init_strategy, defer_init=True,
         )
         from .nuts import _host_sync
 
-        init_z = info.init_unconstrained if init_params is None else init_params
-        _host_sync(jax.tree_util.tree_leaves(init_z)[0])
+        # deferred init: a pure init_fn(key) the samplers fuse into their own
+        # program.  Concrete values are only materialized where a path needs
+        # them (eager fallback for tracer-valued supports, or explicit
+        # init_params).
+        if init_params is not None:
+            init_z = init_params
+        elif info.init_fn is None:
+            init_z = info.init_unconstrained
+        else:
+            init_z = None  # deferred
+
+        def init_thunk(key):
+            # single-chain init in unconstrained space (key_init is threaded
+            # as a program ARGUMENT by the samplers, not baked as a constant)
+            if init_z is not None:
+                return init_z
+            return info.init_fn(key)
+
+        if init_z is not None:
+            _host_sync(jax.tree_util.tree_leaves(init_z)[0])
         self.timing["initialize_s"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
 
-        def one_chain(key, z0):
+        def one_chain(key):
             zs, stats, unravel = run_nuts(
-                info.potential_fn, z0, key,
+                info.potential_fn, init_thunk, key,
                 num_warmup=self.num_warmup,
                 num_samples=self.num_samples,
                 max_tree_depth=self.kernel.max_tree_depth,
@@ -80,22 +109,27 @@ class MCMC:
             return zs, stats
 
         # per-chain jitter of the init point (chain 0 keeps the median init)
-        def chain_init(key, i):
-            flat, unravel = jax.flatten_util.ravel_pytree(init_z)
-            jitter = jnp.where(i == 0, 0.0, 1.0) * jax.random.uniform(
-                key, flat.shape, minval=-1.0, maxval=1.0
-            )
-            return unravel(flat + jitter)
+        def init_batch_fn(key):
+            base = init_thunk(jax.random.fold_in(key, 0))
+            flat, unravel = jax.flatten_util.ravel_pytree(base)
+            jitter_keys = jax.random.split(
+                jax.random.fold_in(key, 7), self.num_chains)
+
+            def one(k, i):
+                jitter = jnp.where(i == 0, 0.0, 1.0) * jax.random.uniform(
+                    k, flat.shape, minval=-1.0, maxval=1.0
+                )
+                return unravel(flat + jitter)
+
+            return jax.vmap(one)(jitter_keys, jnp.arange(self.num_chains))
 
         chain_keys = jax.random.split(key_run, self.num_chains)
-        init_keys = jax.random.split(jax.random.fold_in(key_run, 7), self.num_chains)
-        chain_ids = jnp.arange(self.num_chains)
 
         if self.num_chains == 1 and self.segment_size:
             from .nuts import run_nuts_segmented
 
             zs_1, stats_1, _ = run_nuts_segmented(
-                info.potential_fn, init_z, chain_keys[0],
+                info.potential_fn, init_thunk, chain_keys[0],
                 num_warmup=self.num_warmup, num_samples=self.num_samples,
                 segment_size=self.segment_size,
                 max_tree_depth=self.kernel.max_tree_depth,
@@ -103,18 +137,22 @@ class MCMC:
                 init_step_size=self.kernel.step_size,
                 dense_mass=self.kernel.dense_mass,
                 progress=self.progress_bar,
+                segment_callback=self.segment_callback,
+                deadline=self.deadline,
             )
             zs = zs_1[None]
             stats = jax.tree_util.tree_map(lambda x: x[None], stats_1)
         elif self.num_chains == 1:
-            z0 = jax.tree_util.tree_map(lambda x: x[None], init_z)
-            zs, stats = jax.jit(jax.vmap(one_chain))(
-                chain_keys, z0
-            )
+            zs, stats = jax.jit(jax.vmap(one_chain))(chain_keys)
         elif self.chain_method == "sequential":
             outs = []
             for c in range(self.num_chains):
-                z0 = chain_init(init_keys[c], c)
+                # per-chain deferred init: slice chain c out of the batched
+                # init inside the sampler's own program
+                def chain_thunk(key, c=c):
+                    return jax.tree_util.tree_map(
+                        lambda x: x[c], init_batch_fn(key))
+
                 if self.segment_size:
                     # chains run one at a time, but each chain's device calls
                     # still need bounding at large n (duration-fault rule,
@@ -122,7 +160,7 @@ class MCMC:
                     from .nuts import run_nuts_segmented
 
                     zs_c, stats_c, _ = run_nuts_segmented(
-                        info.potential_fn, z0, chain_keys[c],
+                        info.potential_fn, chain_thunk, chain_keys[c],
                         num_warmup=self.num_warmup,
                         num_samples=self.num_samples,
                         segment_size=self.segment_size,
@@ -136,7 +174,22 @@ class MCMC:
                                if not k.startswith("segment_")}
                     outs.append((zs_c, stats_c))
                 else:
-                    outs.append(jax.jit(one_chain)(chain_keys[c], z0))
+                    def one_chain_c(key, c=c):
+                        zs, stats, _ = run_nuts(
+                            info.potential_fn,
+                            lambda k: jax.tree_util.tree_map(
+                                lambda x: x[c], init_batch_fn(k)),
+                            key,
+                            num_warmup=self.num_warmup,
+                            num_samples=self.num_samples,
+                            max_tree_depth=self.kernel.max_tree_depth,
+                            target_accept_prob=self.kernel.target_accept_prob,
+                            init_step_size=self.kernel.step_size,
+                            dense_mass=self.kernel.dense_mass,
+                        )
+                        return zs, stats
+
+                    outs.append(jax.jit(one_chain_c)(chain_keys[c]))
             zs = jnp.stack([o[0] for o in outs])
             stats = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[o[1] for o in outs])
         elif self.segment_size and self.chain_method in ("vectorized", "parallel"):
@@ -145,7 +198,6 @@ class MCMC:
             # the O(n³) leapfrog work batches on the MXU (nuts.py)
             from .nuts import run_nuts_segmented_chains
 
-            z0s = jax.vmap(chain_init)(init_keys, chain_ids)
             shard_put = None
             if self.chain_method == "parallel" and len(jax.devices()) > 1:
                 n_dev = min(len(jax.devices()), self.num_chains)
@@ -156,7 +208,7 @@ class MCMC:
                 shard_put = lambda tree: jax.tree_util.tree_map(  # noqa: E731
                     lambda x: jax.device_put(x, sharding), tree)
             zs, stats, _ = run_nuts_segmented_chains(
-                info.potential_fn, z0s, key_run,
+                info.potential_fn, init_batch_fn, key_run,
                 num_chains=self.num_chains,
                 num_warmup=self.num_warmup, num_samples=self.num_samples,
                 segment_size=self.segment_size,
@@ -168,8 +220,22 @@ class MCMC:
                 shard_put=shard_put,
             )
         else:
-            z0s = jax.vmap(chain_init)(init_keys, chain_ids)
-            run = jax.jit(jax.vmap(one_chain))
+            def one_chain_z(key, z0):
+                zs, stats, _ = run_nuts(
+                    info.potential_fn, z0, key,
+                    num_warmup=self.num_warmup,
+                    num_samples=self.num_samples,
+                    max_tree_depth=self.kernel.max_tree_depth,
+                    target_accept_prob=self.kernel.target_accept_prob,
+                    init_step_size=self.kernel.step_size,
+                    dense_mass=self.kernel.dense_mass,
+                )
+                return zs, stats
+
+            # materialize the batched init (one program) so the chain axis
+            # can be device_put with an explicit sharding for 'parallel'
+            z0s = jax.jit(init_batch_fn)(key_run)
+            run = jax.jit(jax.vmap(one_chain_z))
             if self.chain_method == "parallel" and len(jax.devices()) > 1:
                 n_dev = min(len(jax.devices()), self.num_chains)
                 while self.num_chains % n_dev:
@@ -177,9 +243,9 @@ class MCMC:
                 mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("chains",))
                 sharding = NamedSharding(mesh, P("chains"))
                 chain_keys = jax.device_put(chain_keys, sharding)
-                z0s = jax.device_put(
-                    z0s, NamedSharding(mesh, P("chains"))
-                )
+                z0s = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(
+                        x, NamedSharding(mesh, P("chains"))), z0s)
             zs, stats = run(chain_keys, z0s)
 
         _host_sync(zs)
@@ -187,11 +253,22 @@ class MCMC:
         _t0 = _time.perf_counter()
 
         # unflatten + constrain + collect deterministic sites, vmapped over (chain, draw)
-        _, unravel = jax.flatten_util.ravel_pytree(init_z)
+        if init_z is not None:
+            _, unravel = jax.flatten_util.ravel_pytree(init_z)
+        else:
+            shapes = jax.eval_shape(info.init_fn, key_init)
+            _, unravel = jax.flatten_util.ravel_pytree(
+                jax.tree_util.tree_map(
+                    lambda s: np.zeros(s.shape, s.dtype), shapes))
 
         def postprocess(z_flat):
             z = unravel(z_flat)
             params = info.constrain_fn(z)
+            if not info.deterministic_sites:
+                # no deterministic sites: postprocess is a pure constrain — a
+                # tiny program; re-tracing the model here would put the O(n²)
+                # gram back into the compiled HLO for nothing
+                return dict(params)
             tr = ppl_trace(substitute(seed(model, 0), data=params)).get_trace(
                 *model_args, **model_kwargs
             )

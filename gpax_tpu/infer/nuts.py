@@ -268,6 +268,32 @@ class NUTS:
         self.dense_mass = dense_mass
 
 
+def _resolve_init(init, rng_key):
+    """``init`` is either a pytree of unconstrained values or a PURE callable
+    ``init_fn(key) -> pytree`` (``ppl.initialize_model(defer_init=True)``).
+    The callable form lets the caller fuse the whole init trace into its own
+    compiled program — one fewer multi-minute compile round trip through the
+    TPU tunnel (VERDICT r03 item 2).
+
+    Returns ``(init_flat(key) -> (dim,), unravel, dim, dtype, is_callable)``.
+    Structure comes from ``jax.eval_shape`` (zero device programs).
+    """
+    if callable(init):
+        import numpy as onp
+
+        shapes = jax.eval_shape(init, rng_key)
+        dummy = jax.tree_util.tree_map(
+            lambda s: onp.zeros(s.shape, s.dtype), shapes)
+        flat0, unravel = ravel_pytree(dummy)
+
+        def init_flat(key):
+            return ravel_pytree(init(key))[0]
+
+        return init_flat, unravel, flat0.shape[0], flat0.dtype, True
+    z0_flat, unravel = ravel_pytree(init)
+    return (lambda key: z0_flat), unravel, z0_flat.shape[0], z0_flat.dtype, False
+
+
 def run_nuts(
     potential_fn: Callable,
     init_unconstrained,
@@ -280,14 +306,14 @@ def run_nuts(
     collect_warmup: bool = False,
     dense_mass: bool = False,
 ):
-    """Warmup + sampling for ONE chain over a pytree of unconstrained latents.
+    """Warmup + sampling for ONE chain over a pytree of unconstrained latents
+    (or a pure ``init_fn(key)`` callable — see :func:`_resolve_init`).
 
     Returns (flat samples (num_samples, dim), stats dict, unravel_fn).
     jit/vmap-safe: call under vmap over `rng_key`/`init_unconstrained` for chains.
     """
-    z0_flat, unravel = ravel_pytree(init_unconstrained)
-    dim = z0_flat.shape[0]
-    dtype = z0_flat.dtype
+    init_flat, unravel, dim, dtype, is_callable = _resolve_init(
+        init_unconstrained, rng_key)
 
     def pot_flat(zf):
         return potential_fn(unravel(zf))
@@ -295,7 +321,12 @@ def run_nuts(
     potential_grad = jax.value_and_grad(pot_flat)
 
     inv_mass0 = jnp.eye(dim, dtype=dtype) if dense_mass else jnp.ones((dim,), dtype)
-    k_eps, k_run = jax.random.split(rng_key)
+    if is_callable:
+        k_init, k_eps, k_run = jax.random.split(rng_key, 3)
+    else:
+        k_init = rng_key  # unused by the concrete-init closure
+        k_eps, k_run = jax.random.split(rng_key)
+    z0_flat = init_flat(k_init)
     eps0 = find_reasonable_step_size(potential_grad, z0_flat, inv_mass0, k_eps, init_step_size)
 
     u0, g0 = potential_grad(z0_flat)
@@ -308,8 +339,8 @@ def run_nuts(
 
     xs = _warmup_xs(num_warmup, num_samples)
     step_fn = _make_step_fn(
-        potential_grad, max_tree_depth, target_accept_prob, eps0,
-        num_warmup, dim, dtype, dense_mass=dense_mass,
+        potential_grad, max_tree_depth, target_accept_prob, dim, dtype,
+        dense_mass=dense_mass,
     )
 
     da0 = da_init(eps0)
@@ -346,8 +377,50 @@ def _warmup_xs(num_warmup: int, num_samples: int):
     return is_warmup, is_warmup_next, in_window, window_end
 
 
-def _make_step_fn(potential_grad, max_tree_depth, target_accept_prob, eps0,
-                  num_warmup, dim, dtype, dense_mass: bool = False):
+def _dummy_carry_np(dim, dtype, dense_mass, key_like, num_chains=None):
+    """Host-side zero-valued (state, dual-averaging, Welford) carry matching
+    the segment program's signature.  The first segment call REPLACES it
+    inside the program (``is_first`` branch of the fused setup); building it
+    from numpy keeps per-fit eager device dispatches at zero — each eager op
+    on the remote runtime is a sub-cache-threshold compile repaid by every
+    process (CLAUDE.md eager-trace rule)."""
+    import numpy as onp
+
+    lead = () if num_chains is None else (num_chains,)
+    npdtype = onp.dtype(dtype)
+    mshape = (dim, dim) if dense_mass else (dim,)
+    base_mass = (onp.eye(dim, dtype=npdtype) if dense_mass
+                 else onp.ones((dim,), npdtype))
+    key_like = onp.asarray(key_like)
+    state = NUTSState(
+        z=onp.zeros(lead + (dim,), npdtype),
+        potential=onp.zeros(lead, npdtype),
+        grad=onp.zeros(lead + (dim,), npdtype),
+        step_size=onp.ones(lead, npdtype),
+        inv_mass=onp.broadcast_to(base_mass, lead + mshape).copy(),
+        rng_key=onp.broadcast_to(key_like, lead + key_like.shape).copy(),
+        accept_prob=onp.zeros(lead, npdtype),
+        num_steps=onp.zeros(lead, onp.int32),
+        diverging=onp.zeros(lead, bool),
+        energy=onp.zeros(lead, npdtype),
+    )
+    da = DualAveragingState(
+        log_step=onp.zeros(lead, npdtype),
+        log_step_avg=onp.zeros(lead, npdtype),
+        grad_sum=onp.zeros(lead, npdtype),
+        t=onp.zeros(lead, npdtype),
+        mu=onp.zeros(lead, npdtype),
+    )
+    wf = WelfordState(
+        mean=onp.zeros(lead + (dim,), npdtype),
+        m2=onp.zeros(lead + mshape, npdtype),
+        count=onp.zeros(lead, npdtype),
+    )
+    return state, da, wf
+
+
+def _make_step_fn(potential_grad, max_tree_depth, target_accept_prob,
+                  dim, dtype, dense_mass: bool = False):
     """One NUTS transition + adaptation bookkeeping, shaped for lax.scan.
     The (expensive) nuts_step traces exactly once per compiled program."""
 
@@ -359,12 +432,14 @@ def _make_step_fn(potential_grad, max_tree_depth, target_accept_prob, eps0,
         # dual averaging: only advances during warmup
         da_new = da_update(da, state.accept_prob, target_accept_prob)
         da = jax.tree_util.tree_map(lambda n, o: jnp.where(warm, n, o), da_new, da)
-        if num_warmup > 0:
-            # next step uses the live DA iterate while still warming up, the
-            # averaged (frozen) step size once sampling starts
-            step_size = jnp.where(warm_next, jnp.exp(da.log_step), jnp.exp(da.log_step_avg))
-        else:
-            step_size = eps0
+        # next step uses the live DA iterate while still warming up, the
+        # averaged (frozen) step size once sampling starts.  Before any DA
+        # update has happened (t == 0, i.e. num_warmup == 0) the average is
+        # uninitialized — fall back to the live value, which still equals the
+        # initial step size.  (Keeps eps0 out of the closure so the compiled
+        # step program is not value-specialized on it.)
+        log_eps_frozen = jnp.where(da.t > 0, da.log_step_avg, da.log_step)
+        step_size = jnp.exp(jnp.where(warm_next, da.log_step, log_eps_frozen))
         state = state._replace(step_size=step_size)
 
         # mass-matrix accumulation inside adaptation windows
@@ -406,6 +481,8 @@ def run_nuts_segmented(
     progress: bool = False,
     dense_mass: bool = False,
     collect_warmup: bool = False,
+    segment_callback: Optional[Callable] = None,
+    deadline: Optional[float] = None,
 ):
     """Warmup + sampling executed in Python-driven segments of ``segment_size``
     NUTS transitions, carrying (state, adaptation) between device calls.
@@ -414,12 +491,25 @@ def run_nuts_segmented(
     required where very long single executions hit runtime limits (large n), and
     it provides progress reporting and a natural mid-run checkpoint boundary.
     Returns (flat samples (num_samples, dim), stats dict, unravel_fn).
+
+    The whole fit is ONE compiled program: the setup work (init-trace draws
+    when ``init_unconstrained`` is a callable, step-size search, initial
+    potential/grad) rides an ``is_first`` branch inside the segment program,
+    so a cold fit pays a single multi-minute compile round trip through the
+    TPU tunnel instead of three (init + setup + scan — VERDICT r03 item 2).
+    All PRNG keys enter as program ARGUMENTS, so a refit with a new key is a
+    persistent-cache hit.
+
+    ``segment_callback``: optional ``f(info_dict)`` called after every
+    segment with cumulative telemetry (segments done, wall, leapfrogs) —
+    bench harnesses emit provisional result lines from it so a killed run
+    still lands a line.  ``deadline``: optional ``time.perf_counter()`` value;
+    once warmup has completed, the runner stops launching further segments
+    past the deadline and returns the samples collected so far.
     """
     import numpy as onp
 
-    z0_flat, unravel = ravel_pytree(init_unconstrained)
-    dim = z0_flat.shape[0]
-    dtype = z0_flat.dtype
+    init_flat, unravel, dim, dtype, _ = _resolve_init(init_unconstrained, rng_key)
 
     def pot_flat(zf):
         return potential_fn(unravel(zf))
@@ -427,52 +517,74 @@ def run_nuts_segmented(
     potential_grad = jax.value_and_grad(pot_flat)
 
     inv_mass0 = jnp.eye(dim, dtype=dtype) if dense_mass else jnp.ones((dim,), dtype)
-    k_eps, k_run = jax.random.split(rng_key)
-    # ONE setup program (step-size search + initial potential/grad): every
-    # extra program call through the remote runtime is a load+dispatch round
-    # trip even cache-warm
-    eps0, (u0, g0) = jax.jit(
-        lambda k: (find_reasonable_step_size(potential_grad, z0_flat, inv_mass0,
-                                             k, init_step_size),
-                   potential_grad(z0_flat))
-    )(k_eps)
-    state0 = NUTSState(
-        z=z0_flat, potential=u0, grad=g0, step_size=eps0, inv_mass=inv_mass0,
-        rng_key=k_run, accept_prob=jnp.zeros((), dtype),
-        num_steps=jnp.zeros((), jnp.int32), diverging=jnp.asarray(False),
-        energy=u0,
-    )
+    k_init, k_eps, k_run = jax.random.split(rng_key, 3)
 
     step_fn = _make_step_fn(
-        potential_grad, max_tree_depth, target_accept_prob, eps0,
-        num_warmup, dim, dtype, dense_mass=dense_mass,
+        potential_grad, max_tree_depth, target_accept_prob, dim, dtype,
+        dense_mass=dense_mass,
     )
-    seg_scan = jax.jit(
-        lambda carry, xs: jax.lax.scan(step_fn, carry, xs, length=segment_size)
-    )
+
+    def fresh_carry(keys):
+        ki, ke, kr = keys
+        z0 = init_flat(ki)
+        eps0 = find_reasonable_step_size(potential_grad, z0, inv_mass0, ke,
+                                         init_step_size)
+        u0, g0 = potential_grad(z0)
+        state0 = NUTSState(
+            z=z0, potential=u0, grad=g0, step_size=eps0, inv_mass=inv_mass0,
+            rng_key=kr, accept_prob=jnp.zeros((), dtype),
+            num_steps=jnp.zeros((), jnp.int32), diverging=jnp.asarray(False),
+            energy=u0,
+        )
+        return state0, da_init(eps0), welford_init(dim, dtype, dense=dense_mass)
+
+    def seg_prog(carry, xs, is_first, keys):
+        carry = jax.lax.cond(is_first, lambda c: fresh_carry(keys),
+                             lambda c: c, carry)
+        return jax.lax.scan(step_fn, carry, xs, length=segment_size)
+
+    seg_scan = jax.jit(seg_prog)
 
     total = num_warmup + num_samples
     pad = (-total) % segment_size
     xs_np = [onp.asarray(x) for x in _warmup_xs(num_warmup, num_samples)]
     xs_np = [onp.concatenate([x, onp.zeros(pad, bool)]) for x in xs_np]
 
-    carry = (state0, da_init(eps0), welford_init(dim, dtype, dense=dense_mass))
+    carry = _dummy_carry_np(dim, dtype, dense_mass, onp.asarray(k_run))
     zs_parts, stats_parts, seg_wall = [], [], []
     n_segments = (total + pad) // segment_size
     import time as _time
+    t_start = _time.perf_counter()
     for s in range(n_segments):
         sl = slice(s * segment_size, (s + 1) * segment_size)
         xs_seg = tuple(jnp.asarray(x[sl]) for x in xs_np)
         t0 = _time.perf_counter()
-        carry, (zs, stats) = seg_scan(carry, xs_seg)
+        carry, (zs, stats) = seg_scan(carry, xs_seg, jnp.asarray(s == 0),
+                                      (k_init, k_eps, k_run))
         _host_sync(carry[0].z)  # true barrier (see _host_sync)
         seg_wall.append(_time.perf_counter() - t0)
         zs_parts.append(zs)
         stats_parts.append(stats)
+        done = min((s + 1) * segment_size, total)
         if progress:
-            done = min((s + 1) * segment_size, total)
             print(f"  NUTS segment {s + 1}/{n_segments} ({done}/{total} steps)",
                   flush=True)
+        if segment_callback is not None:
+            segment_callback({
+                "segments_done": s + 1, "n_segments": n_segments,
+                "steps_done": done, "total_steps": total,
+                "wall_s": _time.perf_counter() - t_start,
+                "segment_wall_s": list(seg_wall),
+                "segment_leapfrogs": [
+                    int(onp.asarray(p["num_steps"]).sum()) for p in stats_parts],
+            })
+        if (deadline is not None and done > num_warmup and done < total
+                and _time.perf_counter() >= deadline):
+            # budget exhausted after warmup: return the draws collected so
+            # far (an honest, smaller posterior sample) instead of being
+            # killed mid-run with nothing
+            total = done
+            break
 
     start = 0 if collect_warmup else num_warmup
     zs = jnp.concatenate(zs_parts, axis=0)[start:total]
@@ -515,18 +627,44 @@ def run_nuts_segmented_chains(
     fault-avoidance of :func:`run_nuts_segmented` (bounded call durations,
     N8192_NOTE.md) with multi-chain statistical practice.
 
-    ``init_unconstrained_batch``: pytree with leading chain axis (C, ...).
+    ``init_unconstrained_batch``: pytree with leading chain axis (C, ...), or
+    a PURE callable ``init_batch_fn(key) -> pytree`` with the same leading
+    axis (the deferred-init path: its trace fuses into the segment program).
     ``shard_put``: optional callable applied to the batched carry after init
     (e.g. placing the chain axis on a device mesh for chain_method='parallel').
     Returns (zs (C, num_samples, dim), stats dict (C, num_samples, ...), unravel).
+
+    Like :func:`run_nuts_segmented`, the whole fit is ONE compiled program
+    (vmapped setup fused into the first segment via an ``is_first`` branch;
+    keys enter as arguments so refits are persistent-cache hits).
     """
     import numpy as onp
 
-    z0_one = jax.tree_util.tree_map(lambda x: x[0], init_unconstrained_batch)
-    _, unravel = ravel_pytree(z0_one)
-    z0_flat = jax.vmap(lambda t: ravel_pytree(t)[0])(init_unconstrained_batch)
-    dim = z0_flat.shape[-1]
-    dtype = z0_flat.dtype
+    if callable(init_unconstrained_batch):
+        shapes = jax.eval_shape(init_unconstrained_batch, rng_key)
+        dummy_b = jax.tree_util.tree_map(
+            lambda s: onp.zeros(s.shape, s.dtype), shapes)
+        _, unravel = ravel_pytree(
+            jax.tree_util.tree_map(lambda x: x[0], dummy_b))
+        dim = sum(int(onp.prod(x.shape[1:])) for x in
+                  jax.tree_util.tree_leaves(dummy_b))
+        dtype = jnp.result_type(*[x.dtype for x in
+                                  jax.tree_util.tree_leaves(dummy_b)])
+
+        def init_flat_batch(key):
+            return jax.vmap(lambda t: ravel_pytree(t)[0])(
+                init_unconstrained_batch(key))
+    else:
+        z0_one = jax.tree_util.tree_map(
+            lambda x: x[0], init_unconstrained_batch)
+        _, unravel = ravel_pytree(z0_one)
+        z0_flat = jax.vmap(lambda t: ravel_pytree(t)[0])(
+            init_unconstrained_batch)
+        dim = z0_flat.shape[-1]
+        dtype = z0_flat.dtype
+
+        def init_flat_batch(key):
+            return z0_flat
 
     def pot_flat(zf):
         return potential_fn(unravel(zf))
@@ -534,52 +672,56 @@ def run_nuts_segmented_chains(
     potential_grad = jax.value_and_grad(pot_flat)
 
     inv_mass0 = jnp.eye(dim, dtype=dtype) if dense_mass else jnp.ones((dim,), dtype)
-    k_eps, k_run = jax.random.split(rng_key)
-    eps_keys = jax.random.split(k_eps, num_chains)
-    run_keys = jax.random.split(k_run, num_chains)
-    # ONE vmapped setup program (see run_nuts_segmented)
-    eps0, (u0, g0) = jax.jit(jax.vmap(
-        lambda z, k: (find_reasonable_step_size(
-            potential_grad, z, inv_mass0, k, init_step_size),
-            potential_grad(z))
-    ))(z0_flat, eps_keys)
-    state0 = NUTSState(
-        z=z0_flat, potential=u0, grad=g0, step_size=eps0,
-        inv_mass=jnp.broadcast_to(inv_mass0, (num_chains,) + inv_mass0.shape),
-        rng_key=run_keys,
-        accept_prob=jnp.zeros((num_chains,), dtype),
-        num_steps=jnp.zeros((num_chains,), jnp.int32),
-        diverging=jnp.zeros((num_chains,), bool),
-        energy=u0,
-    )
+    k_init, k_eps, k_run = jax.random.split(rng_key, 3)
 
-    def make_chain_step(eps0_c):
-        return _make_step_fn(
-            potential_grad, max_tree_depth, target_accept_prob, eps0_c,
-            num_warmup, dim, dtype, dense_mass=dense_mass,
-        )
+    step_fn = _make_step_fn(
+        potential_grad, max_tree_depth, target_accept_prob, dim, dtype,
+        dense_mass=dense_mass,
+    )
 
     def step_vm(carry, xs):
-        def one(carry_c, eps0_c):
-            state_c, da_c, wf_c = carry_c
-            return make_chain_step(eps0_c)((state_c, da_c, wf_c), xs)
-
-        new_carry, out = jax.vmap(one)(carry, eps0)
+        new_carry, out = jax.vmap(lambda c: step_fn(c, xs))(carry)
         return new_carry, out
 
-    seg_scan = jax.jit(
-        lambda carry, xs: jax.lax.scan(step_vm, carry, xs, length=segment_size)
-    )
+    def fresh_carry(keys):
+        ki, ke, kr = keys
+        z0b = init_flat_batch(ki)
+        eps_keys = jax.random.split(ke, num_chains)
+        run_keys = jax.random.split(kr, num_chains)
+        eps0, (u0, g0) = jax.vmap(
+            lambda z, k: (find_reasonable_step_size(
+                potential_grad, z, inv_mass0, k, init_step_size),
+                potential_grad(z))
+        )(z0b, eps_keys)
+        state0 = NUTSState(
+            z=z0b, potential=u0, grad=g0, step_size=eps0,
+            inv_mass=jnp.broadcast_to(inv_mass0,
+                                      (num_chains,) + inv_mass0.shape),
+            rng_key=run_keys,
+            accept_prob=jnp.zeros((num_chains,), dtype),
+            num_steps=jnp.zeros((num_chains,), jnp.int32),
+            diverging=jnp.zeros((num_chains,), bool),
+            energy=u0,
+        )
+        da0 = jax.vmap(da_init)(eps0)
+        wf0 = jax.vmap(lambda _: welford_init(dim, dtype, dense=dense_mass))(
+            jnp.arange(num_chains))
+        return state0, da0, wf0
+
+    def seg_prog(carry, xs, is_first, keys):
+        carry = jax.lax.cond(is_first, lambda c: fresh_carry(keys),
+                             lambda c: c, carry)
+        return jax.lax.scan(step_vm, carry, xs, length=segment_size)
+
+    seg_scan = jax.jit(seg_prog)
 
     total = num_warmup + num_samples
     pad = (-total) % segment_size
     xs_np = [onp.asarray(x) for x in _warmup_xs(num_warmup, num_samples)]
     xs_np = [onp.concatenate([x, onp.zeros(pad, bool)]) for x in xs_np]
 
-    da0 = jax.vmap(da_init)(eps0)
-    wf0 = jax.vmap(lambda _: welford_init(dim, dtype, dense=dense_mass))(
-        jnp.arange(num_chains))
-    carry = (state0, da0, wf0)
+    carry = _dummy_carry_np(dim, dtype, dense_mass, onp.asarray(k_run),
+                            num_chains=num_chains)
     if shard_put is not None:
         carry = shard_put(carry)
     zs_parts, stats_parts, seg_wall = [], [], []
@@ -589,7 +731,8 @@ def run_nuts_segmented_chains(
         sl = slice(s * segment_size, (s + 1) * segment_size)
         xs_seg = tuple(jnp.asarray(x[sl]) for x in xs_np)
         t0 = _time.perf_counter()
-        carry, (zs, stats) = seg_scan(carry, xs_seg)
+        carry, (zs, stats) = seg_scan(carry, xs_seg, jnp.asarray(s == 0),
+                                      (k_init, k_eps, k_run))
         _host_sync(carry[0].z)  # true barrier (see _host_sync)
         seg_wall.append(_time.perf_counter() - t0)
         zs_parts.append(zs)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..distributions import Normal, biject_to
-from ..ppl import get_latent_sites, get_latent_structure, log_density
+from ..ppl import get_latent_sites, get_latent_structure, log_density, seed, trace
 from ..ppl.util import constrain, transform_log_det, unconstrain
 
 
@@ -33,18 +33,58 @@ class AutoGuide:
         self.model = model
         self._transforms = None
         self._site_shapes = None
+        # eager fallback: the structure trace leaked tracer-valued supports,
+        # so init values must be materialized eagerly (see _setup)
+        self._eager_fallback = False
         self.prototype_initialized = False
 
     def _setup(self, rng_key, model_args, model_kwargs):
-        # one compiled trace program instead of an eager model forward pass
-        # (~tens of per-process sub-cache-threshold compiles on the remote
-        # runtime — see ppl.util.get_latent_structure)
-        values, supports = get_latent_structure(
-            self.model, rng_key, model_args, model_kwargs)
-        self._transforms = {n: biject_to(s) for n, s in supports.items()}
-        self._init_values = values
-        self._site_shapes = {n: v.shape for n, v in values.items()}
+        """Latent structure (supports + shapes) with ZERO device programs:
+        the trace runs under ``jax.eval_shape``, metadata is captured on the
+        host, and prior-draw VALUES are recomputed by :meth:`_prior_values`
+        inside whatever program the caller compiles (SVI fuses init + the fit
+        scan into one program — each standalone program is a multi-minute
+        compile round trip through the TPU tunnel, VERDICT r03 item 2)."""
+        from ..ppl.util import _support_holds_tracer
+
+        meta: Dict[str, dict] = {}
+
+        def prog(key):
+            meta.clear()
+            tr = trace(seed(self.model, key)).get_trace(
+                *model_args, **(model_kwargs or {}))
+            out = {}
+            for n, s in tr.items():
+                if s["type"] == "sample" and not s["is_observed"]:
+                    meta[n] = s
+                    out[n] = s["value"]
+            return out
+
+        shapes = jax.eval_shape(prog, rng_key)
+        if meta and not any(_support_holds_tracer(s["fn"].support)
+                            for s in meta.values()):
+            self._transforms = {n: biject_to(s["fn"].support)
+                                for n, s in meta.items()}
+            self._site_shapes = {n: v.shape for n, v in shapes.items()}
+        else:
+            # tracer-valued supports: materialize concretely (old jit path)
+            values, supports = get_latent_structure(
+                self.model, rng_key, model_args, model_kwargs)
+            self._transforms = {n: biject_to(s) for n, s in supports.items()}
+            self._site_shapes = {n: v.shape for n, v in values.items()}
+            self._init_values = values
+            self._eager_fallback = True
         self.prototype_initialized = True
+
+    def _prior_values(self, rng_key, model_args=(), model_kwargs=None) -> Dict:
+        """Prior-draw values for every latent site — pure and trace-safe, so
+        guide initialization can run inside the caller's compiled program."""
+        if self._eager_fallback:
+            return self._init_values
+        tr = trace(seed(self.model, rng_key)).get_trace(
+            *model_args, **(model_kwargs or {}))
+        return {n: s["value"] for n, s in tr.items()
+                if s["type"] == "sample" and not s["is_observed"]}
 
     def init_params(self, rng_key, model_args=(), model_kwargs=None) -> Dict:
         raise NotImplementedError
@@ -69,7 +109,8 @@ class AutoDelta(AutoGuide):
     def init_params(self, rng_key, model_args=(), model_kwargs=None):
         if not self.prototype_initialized:
             self._setup(rng_key, model_args, model_kwargs or {})
-        u = unconstrain(self._transforms, self._init_values)
+        u = unconstrain(self._transforms,
+                        self._prior_values(rng_key, model_args, model_kwargs))
         return {f"{n}_loc": v for n, v in u.items()}
 
     def sample_and_log_prob(self, params, rng_key):
@@ -95,7 +136,8 @@ class AutoNormal(AutoGuide):
     def init_params(self, rng_key, model_args=(), model_kwargs=None):
         if not self.prototype_initialized:
             self._setup(rng_key, model_args, model_kwargs or {})
-        u = unconstrain(self._transforms, self._init_values)
+        u = unconstrain(self._transforms,
+                        self._prior_values(rng_key, model_args, model_kwargs))
         params = {}
         for n, v in u.items():
             params[f"{n}_loc"] = v
@@ -133,7 +175,8 @@ class AutoDiagonalNormal(AutoGuide):
     def init_params(self, rng_key, model_args=(), model_kwargs=None):
         if not self.prototype_initialized:
             self._setup(rng_key, model_args, model_kwargs or {})
-        u = unconstrain(self._transforms, self._init_values)
+        u = unconstrain(self._transforms,
+                        self._prior_values(rng_key, model_args, model_kwargs))
         flat, self._unravel = jax.flatten_util.ravel_pytree(u)
         return {
             "auto_loc": flat,
@@ -193,25 +236,24 @@ class SVI:
     def _collect_model_params(self, rng_key, model_args, model_kwargs):
         """Trace the model once to find numpyro.param-style sites (e.g. trainable
         inducing inputs Xu, sparse_gp.py:70-71) — these are optimized jointly.
-        The trace runs as one compiled program (same rationale as
-        ppl.util.get_latent_structure: an eager model forward pass is tens of
-        per-process sub-cache-threshold compiles on the remote runtime)."""
+        Pure and trace-safe: runs inside the fused fit program."""
         from ..ppl import seed, trace
 
-        def prog(key):
-            tr = trace(seed(self.model, key)).get_trace(*model_args, **model_kwargs)
-            return {n: s["init_value"] for n, s in tr.items()
-                    if s["type"] == "param"}
-
-        return jax.jit(prog)(rng_key)
+        tr = trace(seed(self.model, rng_key)).get_trace(*model_args, **model_kwargs)
+        return {n: s["init_value"] for n, s in tr.items()
+                if s["type"] == "param"}
 
     def run(self, rng_key, num_steps: int, *model_args, progress_bar: bool = False,
             **model_kwargs) -> SVIRunResult:
+        """Fit loop as ONE compiled program: guide init (prior draws +
+        unconstrain), param-site collection, optimizer init, and the whole
+        ``lax.scan`` over steps compile together — a cold fit pays a single
+        compile round trip through the TPU tunnel instead of three standalone
+        programs plus the eager init ops around them (VERDICT r03 item 2)."""
         k_init, k_scan = jax.random.split(rng_key)
-        guide_params = self.guide.init_params(k_init, model_args, model_kwargs)
-        model_params = self._collect_model_params(k_init, model_args, model_kwargs)
-        params = {"guide": guide_params, "model": model_params}
-        opt_state = self.optim.init(params)
+        # host-side structure capture (eval_shape; zero device programs)
+        if not self.guide.prototype_initialized:
+            self.guide._setup(k_init, model_args, model_kwargs)
 
         n_particles = self.loss.num_particles
 
@@ -235,8 +277,15 @@ class SVI:
             new_params = optax.apply_updates(state.params, updates)
             return SVIState(new_params, opt_state, key), loss
 
-        state0 = SVIState(params, opt_state, k_scan)
-        state, losses = jax.lax.scan(step, state0, None, length=num_steps)
+        def fit_prog(ki, ks):
+            guide_params = self.guide.init_params(ki, model_args, model_kwargs)
+            model_params = self._collect_model_params(ki, model_args, model_kwargs)
+            params = {"guide": guide_params, "model": model_params}
+            opt_state = self.optim.init(params)
+            state0 = SVIState(params, opt_state, ks)
+            return jax.lax.scan(step, state0, None, length=num_steps)
+
+        state, losses = jax.jit(fit_prog)(k_init, k_scan)
         flat_params = {**state.params["guide"], **state.params["model"]}
         return SVIRunResult(flat_params, state, losses)
 

@@ -255,6 +255,8 @@ class ExactGP:
         dense_mass: Optional[bool] = None,
         max_tree_depth: int = 10,
         target_accept_prob: float = 0.8,
+        segment_callback: Optional[Callable] = None,
+        deadline: Optional[float] = None,
         **kwargs,
     ) -> None:
         """Run NUTS over the GP hyperparameters.
@@ -280,6 +282,11 @@ class ExactGP:
         ``target_accept_prob``: dual-averaging acceptance target (default 0.8,
         numpyro's).  Lowering it trades acceptance for larger steps — fewer
         leapfrogs per transition on posteriors that run deep trees.
+
+        ``segment_callback`` / ``deadline``: per-segment telemetry hook and a
+        soft ``time.perf_counter()`` deadline for the segmented runner —
+        sampling (never warmup) is truncated at the deadline so a
+        budget-bound fit still returns a valid (smaller) posterior.
         """
         X, y = self._set_data(X, y)
         if device:
@@ -334,6 +341,8 @@ class ExactGP:
             progress_bar=progress_bar,
             segment_size=segment_size,
         )
+        self.mcmc.segment_callback = segment_callback
+        self.mcmc.deadline = deadline
         self.mcmc.run(rng_key, *fit_args, **kwargs)
         if print_summary:
             self._print_summary()

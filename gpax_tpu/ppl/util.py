@@ -18,10 +18,20 @@ from .core import log_density, seed, substitute, trace
 
 class ModelInfo(NamedTuple):
     potential_fn: Callable[[Dict[str, jnp.ndarray]], jnp.ndarray]
-    init_unconstrained: Dict[str, jnp.ndarray]
+    init_unconstrained: Optional[Dict[str, jnp.ndarray]]
     transforms: Dict[str, object]
     constrain_fn: Callable[[Dict[str, jnp.ndarray]], Dict[str, jnp.ndarray]]
     prototype_trace: Dict[str, dict]
+    # init_fn(key) -> unconstrained init pytree: a PURE function the inference
+    # engine can fuse into its own compiled program instead of executing the
+    # init trace as a standalone device program (each extra program is a 1-6
+    # minute compile round trip through the TPU tunnel — VERDICT r03 item 2).
+    # None when the model needs the eager fallback (tracer-valued supports).
+    init_fn: Optional[Callable] = None
+    # names of deterministic sites in the prototype trace: when empty, sample
+    # postprocessing is a pure constrain (a tiny program) and never needs to
+    # re-trace the model (whose forward pass holds the O(n²) gram)
+    deterministic_sites: tuple = ()
 
 
 def get_latent_sites(model, rng_key, model_args=(), model_kwargs=None) -> Dict[str, dict]:
@@ -120,37 +130,41 @@ def _support_holds_tracer(support) -> bool:
     return False
 
 
-def _initialize_model_jit(model, rng_key, model_args, model_kwargs,
-                          init_strategy, num_init_samples):
-    """The whole init path (structure trace + median-of-prior draws +
-    unconstrain) as ONE compiled program.
+def _initialize_model_structure(model, rng_key, model_args, model_kwargs,
+                                init_strategy, num_init_samples):
+    """Model structure + a PURE init function, with ZERO device programs.
 
-    The eager equivalent dispatches every op in the model's forward pass plus
-    ~3 ops per latent individually; on a remote-executed runtime each eager
-    dispatch compiles a tiny program that is below the persistent-cache
-    threshold, so EVERY process repays it — measured 43 s per fit for the
-    multitask model (PROFILE_r03 mtgp_setup_cost) vs one >1 s (persistently
-    cached) compile here.  model_args stay closed-over, so data is concrete
-    at trace time (models may branch on it — e.g. CoregGP infers num_tasks
-    from X on its first concrete trace); only RNG/draws are traced.  The
-    program is therefore value-specialized: a refit with new data compiles a
-    fresh (small) init program — still far cheaper than the eager dispatch
-    it replaces, at every n.
+    ``jax.eval_shape`` runs the init trace abstractly: site metadata
+    (supports, shapes, deterministic-site names) is captured on the host at
+    trace time, and the returned ``init_fn(key)`` — prior/median draws
+    followed by unconstrain — is a pure function the caller fuses into its own
+    compiled program.  The round-3 design executed the init trace as its own
+    jitted program; through the TPU tunnel that standalone compile (whose HLO
+    carries the model's O(n²) gram before DCE) cost ~200 s of the n=4096
+    bench headline (BENCH_r03 phase_initialize_s; VERDICT r03 item 2).
+    model_args stay closed-over, so data is concrete at trace time (models
+    may branch on it — e.g. CoregGP infers num_tasks from X); only RNG/draws
+    are abstract.
 
     Returns None when a latent's support holds traced parameters (e.g. a
     Uniform whose bounds were sampled upstream) — the transforms would leak
     tracers — and the caller falls back to the eager path.
     """
     meta: Dict[str, dict] = {}
+    deterministic: list = []
 
     def init_program(key):
+        meta.clear()
+        deterministic.clear()
         tr = trace(seed(model, key)).get_trace(*model_args, **model_kwargs)
         out = {}
         i = 0
         for name, site in tr.items():
+            if site["type"] == "deterministic":
+                deterministic.append(name)
             if site["type"] != "sample" or site["is_observed"]:
                 continue
-            meta[name] = site  # trace-time host capture (values are tracers)
+            meta[name] = site  # trace-time host capture (values are abstract)
             if init_strategy == "median":
                 k = jax.random.fold_in(key, i)
                 i += 1
@@ -161,7 +175,7 @@ def _initialize_model_jit(model, rng_key, model_args, model_kwargs,
                 out[name] = site["value"]
         return out
 
-    init_constrained = jax.jit(init_program)(rng_key)
+    jax.eval_shape(init_program, rng_key)
     if not meta:
         return None
     supports = {}
@@ -171,28 +185,42 @@ def _initialize_model_jit(model, rng_key, model_args, model_kwargs,
             return None
         supports[name] = sup
     transforms = {n: biject_to(s) for n, s in supports.items()}
-    init_unconstrained = jax.jit(
-        lambda c: unconstrain(transforms, c))(init_constrained)
+
+    def init_fn(key):
+        return unconstrain(transforms, init_program(key))
+
     potential_fn = make_potential_fn(model, transforms, model_args, model_kwargs)
 
     def constrain_fn(z):
         return constrain(transforms, z)
 
-    return ModelInfo(potential_fn, init_unconstrained, transforms, constrain_fn,
-                     meta)
+    return ModelInfo(potential_fn, None, transforms, constrain_fn, meta,
+                     init_fn=init_fn, deterministic_sites=tuple(deterministic))
 
 
 def initialize_model(model, rng_key, model_args=(), model_kwargs=None,
                      init_strategy: str = "median", num_init_samples: int = 10,
-                     jit_init: bool = True) -> ModelInfo:
+                     jit_init: bool = True, defer_init: bool = False) -> ModelInfo:
+    """Model structure + initial latent values for inference.
+
+    ``defer_init=True`` skips executing the init trace: ``init_unconstrained``
+    comes back None and the caller runs ``info.init_fn(key)`` inside its own
+    compiled program (one fewer compile round trip through the TPU tunnel).
+    The default executes ``init_fn`` as one jitted program for API parity
+    with callers that want concrete values.
+    """
     model_kwargs = model_kwargs or {}
     if init_strategy not in ("median", "prior"):
         raise ValueError(f"unknown init strategy {init_strategy}")
     if jit_init:
-        info = _initialize_model_jit(model, rng_key, model_args, model_kwargs,
-                                     init_strategy, num_init_samples)
+        info = _initialize_model_structure(
+            model, rng_key, model_args, model_kwargs, init_strategy,
+            num_init_samples)
         if info is not None:
-            return info
+            if defer_init:
+                return info
+            return info._replace(
+                init_unconstrained=jax.jit(info.init_fn)(rng_key))
     tr = trace(seed(model, rng_key)).get_trace(*model_args, **model_kwargs)
     latent_sites = {
         n: s for n, s in tr.items() if s["type"] == "sample" and not s["is_observed"]
@@ -210,7 +238,10 @@ def initialize_model(model, rng_key, model_args=(), model_kwargs=None,
     def constrain_fn(z):
         return constrain(transforms, z)
 
-    return ModelInfo(potential_fn, init_unconstrained, transforms, constrain_fn, tr)
+    deterministic = tuple(
+        n for n, s in tr.items() if s["type"] == "deterministic")
+    return ModelInfo(potential_fn, init_unconstrained, transforms, constrain_fn,
+                     tr, init_fn=None, deterministic_sites=deterministic)
 
 
 class Predictive:

@@ -231,13 +231,17 @@ def test_fit_target_accept_prob():
     """fit(target_accept_prob=t): lower targets adapt LARGER step sizes."""
     X, y = get_dummy_data()
     eps = {}
-    for ta in (0.9, 0.6):
+    # wide target gap + enough warmup for dual averaging to separate them:
+    # at 60 steps / 0.9-vs-0.6 the frozen averages are within DA noise of each
+    # other (the mass-window restarts leave few converged iterates), and the
+    # ordering flipped on an unrelated PRNG-plumbing change (r04)
+    for ta in (0.95, 0.5):
         m = ExactGP(1, "RBF")
-        m.fit(get_keys()[0], X, y, num_warmup=60, num_samples=10,
+        m.fit(get_keys()[0], X, y, num_warmup=150, num_samples=10,
               target_accept_prob=ta, print_summary=False, progress_bar=False)
         assert m.mcmc.kernel.target_accept_prob == ta
         eps[ta] = float(np.asarray(m.mcmc.get_extra_fields()["step_size"])[-1])
-    assert eps[0.6] > eps[0.9]
+    assert eps[0.5] > eps[0.95]
 
 
 def test_fit_max_tree_depth_cap():
