@@ -1,12 +1,23 @@
 """Benchmarks for the BASELINE.md configs on one TPU chip.
 
 Prints one JSON line per config ({"metric", "value", "unit", "vs_baseline",
-"extra"}).  Config ORDER is by priority, not size: the two ExactGP NUTS
-configs (n=4096 headline, n=8192 north star) run FIRST so they are guaranteed
-to land inside the driver's window (round 2 ran them last and the driver
-timed out before either printed — BENCH_r02.json rc=124).  The remaining
-configs run best-effort against a wall-clock budget, and the north-star line
-is RE-EMITTED at the very end so single-line consumers parse it.
+"extra"}).  Designed for a HOSTILE driver window (VERDICT r03 item 1: two
+consecutive rc=124 rounds proved the old budget model wrong):
+
+* default TOTAL budget 1400 s (≈23 min), cold-cache, slow-tunnel assumptions;
+* the n=8192 NORTH STAR runs FIRST, then n=4096, then mtgp, then the three
+  small SVI configs grouped in one child (each child process pays ~30-60 s of
+  jax/tunnel init);
+* every NUTS config gets a wall-clock share enforced INSIDE the fit: the
+  segmented runner truncates sampling (never warmup) at the deadline and
+  returns the draws collected so far — an honest smaller posterior instead of
+  a killed process;
+* the segmented runner's per-segment callback emits PROVISIONAL result lines
+  (extra.provisional=true, same metric name) every ~30 s, so even if the
+  driver kills the whole run mid-config, the last JSON line on stdout is a
+  live reading of the config being measured;
+* the north-star line is RE-EMITTED at the very end (final lines preferred
+  over provisional) so single-line consumers parse it.
 
 vs_baseline: speedup over the reference-equivalent CPU cost.  numpyro is not
 installed on this host, so the baseline is THIS framework measured on the
@@ -52,9 +63,12 @@ CPU_ANCHOR_S = {
 CPU_SECONDS_PER_LEAPFROG_MTGP = 4.82e-4  # n=48 LCM kernel (35328-leapfrog run)
 V5E_BF16_PEAK = 197e12
 
-# total wall-clock budget for the whole suite; the driver's window was ~1 h in
-# round 2 (rc=124 at ~45-50 min) — default leaves headroom for teardown
-TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 3200))
+# total wall-clock budget for the whole suite.  The driver killed the run at
+# an unknown point twice (rc=124 in rounds 2 AND 3, the second at ≲30 min in),
+# so the default assumes ≤25 min usable: 1400 s of scheduled work + teardown
+# headroom.  Raise via BENCH_BUDGET_S for manual runs (a raised budget also
+# unlocks the optional n=16384 config).
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1400))
 
 HEADLINE_N = 4096
 NUM_WARMUP = 100
@@ -91,7 +105,7 @@ def emit(metric, value, unit, vs_baseline, **extra):
 
 def bench_exactgp(n, segment_size=None, warm_time=True,
                   num_warmup=NUM_WARMUP, num_samples=NUM_SAMPLES,
-                  max_depth=MAX_DEPTH, predict_m=2048):
+                  max_depth=MAX_DEPTH, predict_m=2048, budget_s=None):
     """ExactGP RBF 1D NUTS fit + fully-Bayesian predict at size n (BASELINE
     config 1; north star n=8k).  Runs through the PUBLIC API (``gp.fit`` /
     ``predict_in_batches``) so the driver artifact measures what a user of
@@ -105,6 +119,10 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
     warm_time: time a second fit after a warmup fit (excludes compile); for
     very large n a single timed run including compile is reported instead
     (a SECOND large fit in one process has faulted the device — CLAUDE.md).
+    budget_s: wall-clock share for this config.  Enforced INSIDE the fit via
+    the segmented runner's deadline (sampling truncates, warmup never), with
+    ~12%/60s reserved for the predict sweep; provisional result lines stream
+    every ~30 s so a killed run still lands a live reading.
     """
     import gpax_tpu
 
@@ -114,10 +132,34 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
 
     gp = gpax_tpu.ExactGP(1, "RBF")
 
+    metric_name = (
+        f"exactgp_rbf1d_n{n}_nuts{num_warmup}+{num_samples}_fit_wallclock")
+    cpu_s_per_leapfrog = CPU_SECONDS_PER_LEAPFROG_N2048 * (n / 2048) ** 3
+    deadline = None
+    if budget_s is not None:
+        reserve = min(60.0, 0.12 * budget_s)  # predict sweep + teardown
+        deadline = time.perf_counter() + budget_s - reserve
+
+    prov_state = {"last_emit": time.time()}
+
+    def provisional_cb(info):
+        now = time.time()
+        if now - prov_state["last_emit"] < 30.0:
+            return
+        prov_state["last_emit"] = now
+        leap = float(sum(info["segment_leapfrogs"]))
+        wall = max(info["wall_s"], 1e-9)
+        emit(metric_name, wall, "s", cpu_s_per_leapfrog * leap / wall,
+             provisional=True,
+             steps_done=info["steps_done"], total_steps=info["total_steps"],
+             leapfrogs=leap, leapfrogs_per_s=leap / wall,
+             est_tflops_per_s=leap * 3.0 * n**3 / wall / 1e12)
+
     def fit(k):
         gp.fit(k, X, y, num_warmup=num_warmup, num_samples=num_samples,
                max_tree_depth=max_depth, segment_size=segment_size,
-               print_summary=False, progress_bar=False)
+               print_summary=False, progress_bar=False,
+               segment_callback=provisional_cb, deadline=deadline)
         return gp.get_samples()["noise"], gp.mcmc.get_extra_fields()
 
     compiled_note = "warm"
@@ -132,6 +174,7 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
     # acknowledge at enqueue time under load (observed 665k "leapfrogs/s")
     np.asarray(zs)
     fit_s = time.time() - t0
+    samples_collected = int(np.asarray(zs).shape[0])
 
     seg_leap = np.asarray(stats.get("segment_leapfrogs", []), dtype=np.float64)
     if seg_leap.size:
@@ -141,11 +184,12 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
     else:
         leapfrogs = float(np.asarray(stats["num_steps"]).sum()) \
             + num_warmup + num_samples
-    cpu_s_per_leapfrog = CPU_SECONDS_PER_LEAPFROG_N2048 * (n / 2048) ** 3
     # useful FLOPs: fwd gram+factor+inverse ~ n³, backward matmul pullback ~ 2n³
     flops = leapfrogs * 3.0 * n**3
     tflops_per_s = flops / fit_s / 1e12
     extra = dict(
+        samples_collected=samples_collected,
+        truncated=samples_collected < num_samples,
         leapfrogs=leapfrogs,
         leapfrogs_per_s=leapfrogs / fit_s,
         est_tflops_per_s=tflops_per_s,
@@ -196,31 +240,46 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
     extra["posterior_rmse"] = float(
         np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)))
     return emit(
-        f"exactgp_rbf1d_n{n}_nuts{num_warmup}+{num_samples}_fit_wallclock",
+        metric_name,
         fit_s, "s", cpu_s_per_leapfrog * leapfrogs / fit_s,
         **extra,
     )
 
 
-def bench_exactgp_headline():
+def bench_exactgp_headline(budget_s=None):
     # segment sizes bound the WORST-CASE device-call duration below ~60 s
     # (segments × 2^max_depth leapfrogs × measured s/leapfrog): every observed
     # runtime fault had multi-minute device calls, every sub-minute call
     # succeeded (N8192_NOTE.md).  At depth 7 / n=4096 (26 ms/leapfrog):
     # 12 × 128 × 0.026 ≈ 40 s worst case.
-    bench_exactgp(HEADLINE_N, segment_size=12, warm_time=False)
+    bench_exactgp(HEADLINE_N, segment_size=12, warm_time=False,
+                  budget_s=budget_s)
 
 
-def bench_exactgp_8k():
-    """North-star config: n=8192 NUTS fit.  100 warmup + 50 samples: a
+def bench_exactgp_8k(budget_s=None):
+    """North-star config: n=8192 NUTS fit.  100 warmup + 25 samples: a
     50-step warmup does not reach the typical set at this n — the measured
     live step size was still oscillating 4x at step 50 and sampling accept
     decayed 0.76 -> 0.41 over the 50 draws (PROFILE_r03 warmup_diag_8k);
     100 warmup also fits a mass-adaptation window with a full 20-step
-    recovery buffer (hmc_util.warmup_schedule).  depth 7 + segment 2 keeps
-    worst-case calls under ~55 s (duration-fault line, N8192_NOTE.md)."""
+    recovery buffer (hmc_util.warmup_schedule).  25 draws (was 50 in r03):
+    the value measures throughput, not posterior coverage, and the smaller
+    budget keeps the whole config inside a hostile driver window (VERDICT
+    r03 item 1); the deadline truncates further if needed.  depth 7 +
+    segment 2 keeps worst-case calls under ~55 s (duration-fault line,
+    N8192_NOTE.md)."""
     bench_exactgp(8192, segment_size=2, warm_time=False,
-                  num_warmup=100, num_samples=50)
+                  num_warmup=100, num_samples=25, budget_s=budget_s)
+
+
+def bench_exactgp_16k(budget_s=None):
+    """OPTIONAL capability config (VERDICT r03 item 8): n=16384, runs only
+    when BENCH_BUDGET_S is raised enough to leave it room (~50 min).
+    Validated end-to-end in PROFILE_r03 (warmup_diag_16384: accept 0.74,
+    2 divergences, no fault at depth 7 / segment 1)."""
+    bench_exactgp(16384, segment_size=1, warm_time=False,
+                  num_warmup=100, num_samples=10, max_depth=7,
+                  predict_m=1024, budget_s=budget_s)
 
 
 def bench_vigp_sparse_image():
@@ -301,7 +360,7 @@ def bench_visparsegp():
     )
 
 
-def bench_mtgp_bo():
+def bench_mtgp_bo(budget_s=None):
     """BASELINE config 4: MultiTaskGP NUTS fit + Bayesian-averaged EI."""
     import gpax_tpu
     from gpax_tpu.acquisition import EI
@@ -340,9 +399,14 @@ def bench_mtgp_bo():
     # transition at 0.8 vs 45 at 0.7 with IDENTICAL posterior quality — noise
     # 0.0852+/-0.160 vs 0.0857+/-0.164, same EI argmax, same predictive RMSE,
     # 0 divergences at both; 0.6 cut further but produced divergences)
+    deadline = None
+    if budget_s is not None:
+        # reserve ~60 s for the EI evaluations; sampling truncates at the
+        # deadline (warmup never — an honest smaller posterior still lands)
+        deadline = time.perf_counter() + budget_s - min(60.0, 0.25 * budget_s)
     mtgp.fit(key_fit, jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
              num_warmup=1000, num_samples=1000, segment_size=250,
-             target_accept_prob=0.7,
+             target_accept_prob=0.7, deadline=deadline,
              print_summary=False, progress_bar=False)
     fit_s = time.time() - t0
     grid = np.linspace(0, 2, 101)
@@ -427,56 +491,101 @@ def bench_vidkl_al():
     )
 
 
+def bench_svi_small(budget_s=None):
+    """The three small SVI configs in ONE child process: each child pays
+    ~30-60 s of jax/tunnel init, and these fits are single small fused
+    programs with no fault history (unlike the big NUTS configs, which keep
+    their own processes).  Order by BASELINE priority; a config is skipped
+    when the remaining child budget cannot plausibly cover it."""
+    t0 = time.time()
+    est = {"vigp": 150.0, "visparsegp": 120.0, "vidkl": 90.0}
+    for name, fn in (("vigp", bench_vigp_sparse_image),
+                     ("visparsegp", bench_visparsegp),
+                     ("vidkl", bench_vidkl_al)):
+        if budget_s is not None and budget_s - (time.time() - t0) < 0.5 * est[name]:
+            print(f"# skipping {name}: child budget exhausted", flush=True)
+            continue
+        try:
+            fn()
+        except Exception as e:
+            emit(f"FAILED_{name}", -1.0, "s", None, error=repr(e)[:300])
+
+
 CONFIGS = {
     "exactgp": bench_exactgp_headline,
     "exactgp8k": bench_exactgp_8k,
+    "exactgp16k": bench_exactgp_16k,
     "mtgp": bench_mtgp_bo,
-    "vigp": bench_vigp_sparse_image,
-    "visparsegp": bench_visparsegp,
-    "vidkl": bench_vidkl_al,
+    "svi_small": bench_svi_small,
+    # individually addressable for manual runs
+    "vigp": lambda budget_s=None: bench_vigp_sparse_image(),
+    "visparsegp": lambda budget_s=None: bench_visparsegp(),
+    "vidkl": lambda budget_s=None: bench_vidkl_al(),
 }
 
-# priority order + rough worst-case wall-clock (cold compile through the
-# tunnel included); a config is skipped when the remaining budget cannot
-# cover ~60% of its estimate
-ORDER = ("exactgp", "exactgp8k", "mtgp", "vigp", "visparsegp", "vidkl")
-EST_COST_S = {
-    "exactgp": 800, "exactgp8k": 1600, "mtgp": 500,
-    "vigp": 600, "visparsegp": 400, "vidkl": 350,
-}
+# priority order (north star FIRST — it has missed the driver artifact in two
+# consecutive rounds) + each child's share of the total budget.  Shares are
+# enforced INSIDE the fits via deadlines (sampling truncates gracefully); the
+# parent's subprocess timeout is share + grace, a backstop only.
+ORDER = ("exactgp8k", "exactgp", "mtgp", "svi_small")
+SHARE = {"exactgp8k": 0.50, "exactgp": 0.24, "mtgp": 0.12, "svi_small": 0.14}
+# the optional 16k capability config runs only with a raised BENCH_BUDGET_S
+OPTIONAL_ORDER = ("exactgp16k",)
+OPTIONAL_EST_S = {"exactgp16k": 2400.0}
 
 
 def main():
-    # One subprocess per config: several large jit programs in one TPU process
-    # can fault the device (CLAUDE.md), and a fault must not take down the
-    # remaining configs.  PRIORITY order — ExactGP headline + north star
-    # first — with wall-clock budgeting so the important lines always print
-    # inside the driver's window.
+    # One subprocess per NUTS config: several large jit programs in one TPU
+    # process can fault the device (CLAUDE.md), and a fault must not take
+    # down the remaining configs.  The small SVI configs share one child.
     t_start = time.time()
     try:
         os.unlink(LINES_FILE)
     except OSError:
         pass
     prev_failed = False
-    for i, name in enumerate(ORDER):
+    first = True
+    for name in ORDER:
         elapsed = time.time() - t_start
         remaining = TOTAL_BUDGET_S - elapsed
-        if remaining < 0.6 * EST_COST_S[name]:
-            print(f"# skipping {name}: {remaining:.0f}s left < "
-                  f"est {EST_COST_S[name]}s", flush=True)
+        share = SHARE[name] * TOTAL_BUDGET_S
+        budget = min(share, max(remaining - 20.0, 0.0))
+        if budget < 0.3 * share:
+            print(f"# skipping {name}: {remaining:.0f}s left", flush=True)
             continue
-        if i:
+        if not first:
             # a faulted device needs ~1 min to recover; a clean exit only
             # needs the old process to be fully gone
             time.sleep(75 if prev_failed else 15)
+        first = False
         prev_failed = False
         try:
-            # children inherit stdout: their JSON lines stream straight to the
-            # driver, so everything printed so far survives even if the driver
-            # kills THIS process mid-config (the BENCH_r02 failure mode)
+            # children inherit stdout: their JSON lines (including the
+            # provisional per-segment lines) stream straight to the driver,
+            # so everything printed so far survives even if the driver kills
+            # THIS process mid-config (the BENCH_r02/r03 failure mode)
             rc = subprocess.run(
-                [sys.executable, __file__, name],
-                timeout=max(60.0, min(remaining - 30.0, 2.0 * EST_COST_S[name])),
+                [sys.executable, __file__, name, f"{budget:.0f}"],
+                timeout=budget + 180.0,
+            ).returncode
+            if rc != 0:
+                prev_failed = True
+                emit(f"FAILED_{name}", -1.0, "s", None, error=f"rc={rc}")
+        except Exception as e:
+            prev_failed = True
+            emit(f"FAILED_{name}", -1.0, "s", None, error=repr(e)[:300])
+
+    # bonus configs when the budget was raised (BENCH_BUDGET_S)
+    for name in OPTIONAL_ORDER:
+        remaining = TOTAL_BUDGET_S - (time.time() - t_start)
+        if remaining < OPTIONAL_EST_S[name]:
+            continue
+        time.sleep(75 if prev_failed else 15)
+        prev_failed = False
+        try:
+            rc = subprocess.run(
+                [sys.executable, __file__, name, f"{remaining - 60:.0f}"],
+                timeout=remaining - 30.0,
             ).returncode
             if rc != 0:
                 prev_failed = True
@@ -486,7 +595,7 @@ def main():
             emit(f"FAILED_{name}", -1.0, "s", None, error=repr(e)[:300])
 
     # re-emit the north-star line LAST for single-line consumers (children
-    # recorded their lines in LINES_FILE)
+    # recorded their lines in LINES_FILE); final lines beat provisional ones
     seen_lines = []
     try:
         with open(LINES_FILE) as fh:
@@ -498,16 +607,20 @@ def main():
     except OSError:
         pass
     for prefix in ("exactgp_rbf1d_n8192", "exactgp_rbf1d_n4096"):
-        star = [ln for ln in seen_lines if ln.get("metric", "").startswith(prefix)]
-        if star:
-            print(json.dumps(star[-1]), flush=True)
+        star = [ln for ln in seen_lines
+                if ln.get("metric", "").startswith(prefix)]
+        final = [ln for ln in star if not ln.get("extra", {}).get("provisional")]
+        pick = (final or star)
+        if pick:
+            print(json.dumps(pick[-1]), flush=True)
             break
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1:
+        budget = float(sys.argv[2]) if len(sys.argv) > 2 else None
         try:
-            CONFIGS[sys.argv[1]]()
+            CONFIGS[sys.argv[1]](budget_s=budget)
         except Exception as e:
             emit(f"FAILED_{sys.argv[1]}", -1.0, "s", None, error=repr(e)[:300])
     else:
