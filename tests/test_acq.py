@@ -125,6 +125,48 @@ def test_batch_acq_maximize_distance():
     assert acq.shape == (2, 20)
 
 
+def test_batch_acq_single_cached_program():
+    """The whole q-acquisition fan-out executes as ONE compiled program,
+    cached on the model instance — a second call with the same shapes reuses
+    it instead of recompiling (VERDICT r03 item 4)."""
+    m = mock_GP()
+    m.__dict__.pop("_prog_cache", None)
+    a1 = qEI(get_keys()[0], m, X_cand, subsample_size=3)
+    cache = m.__dict__.get("_prog_cache")
+    assert cache is not None and len(cache) == 1
+    prog1 = next(iter(cache.values()))[1]
+    a2 = qEI(get_keys()[1], m, X_cand, subsample_size=3)
+    assert len(cache) == 1
+    assert next(iter(cache.values()))[1] is prog1
+    assert a1.shape == a2.shape == (3, 20)
+    # different flags compile (and cache) a distinct program
+    qEI(get_keys()[0], m, X_cand, subsample_size=2)
+    assert len(cache) == 2
+
+
+def test_batch_acq_exact_moments_match_mvn_diag():
+    """The diagonal fast path (get_predictive_mean_var) must reproduce the
+    reference's full-covariance-then-diagonal moments."""
+    m = mock_GP()
+    samples = {k: v[:2] for k, v in m.get_samples().items()}
+
+    def diag_moments(params):
+        mean, cov = m.get_mvn_posterior(X_cand[:, None], params, False)
+        return mean, cov.diagonal()
+
+    def fast_moments(params):
+        return m.get_predictive_mean_var(X_cand[:, None], params, False)
+
+    for i in range(2):
+        p = {k: v[i] for k, v in samples.items()}
+        m1, v1 = diag_moments(p)
+        m2, v2 = fast_moments(p)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_batch_acq_requires_bayesian():
     m = mock_MAP_GP()
     with pytest.raises(ValueError):
