@@ -220,6 +220,13 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
         extra["est_tflops_per_s_warm"] = \
             warm_leap * 3.0 * n**3 / max(warm_s, 1e-9) / 1e12
 
+    # the FINAL fit line lands NOW — before the predict sweep, whose own cold
+    # compile (~1-2 min through the tunnel) must never cost the headline if
+    # the driver kills the process during it; an enriched line (predict
+    # throughput + posterior RMSE) re-emits below and supersedes this one
+    emit(metric_name, fit_s, "s", cpu_s_per_leapfrog * leapfrogs / fit_s,
+         **extra)
+
     # BASELINE metrics 2+3: fully-Bayesian predict points/s (vmapped
     # Cholesky-solve posterior over all samples) and posterior RMSE vs the
     # generating function (reference predict: gpax/models/gp.py:351-399)
@@ -566,7 +573,11 @@ def main():
             # THIS process mid-config (the BENCH_r02/r03 failure mode)
             rc = subprocess.run(
                 [sys.executable, __file__, name, f"{budget:.0f}"],
-                timeout=budget + 180.0,
+                # grace must cover the deadline's guaranteed tail: warmup
+                # cannot be truncated, and one post-warmup segment + the
+                # predict sweep always run — measured ~250 s past the share
+                # on a cold n=8192 run
+                timeout=budget + 300.0,
             ).returncode
             if rc != 0:
                 prev_failed = True

@@ -78,6 +78,18 @@ class Config:
     # Measured on chip at n=8192 (PROFILE_r03 bwd_variants, fixed harness):
     # wired backward 19.8 ms vs 21.7 ms exact — DEFAULT.
     mvn_dk_gauge: str = "symmetric_equivalent"
+    # wtw_precision override applied ONLY while an MCMC fit traces its
+    # potential-gradient program (infer/mcmc.MCMC.run).  Rationale: in
+    # NUTS/HMC the accept decision and the multinomial trajectory weights use
+    # the exact POTENTIAL; the gradient only shapes the leapfrog proposal,
+    # and leapfrog with ANY deterministic force field stays reversible and
+    # volume-preserving — so a reduced-precision backward WᵀW leaves the
+    # invariant distribution EXACT and can at most cost acceptance.  A bf16
+    # ('default') backward WᵀW is one MXU pass instead of compensated's two
+    # (~4e-3 dK error).  None = no override (gradient-accuracy-sensitive
+    # consumers — SVI/ELBO, predictive paths, user grads — always get
+    # wtw_precision).  Set to 'default' after the on-chip acceptance A/B.
+    hmc_wtw_precision: Optional[str] = None
 
 
 _config = Config()

@@ -53,6 +53,25 @@ class MCMC:
         self._model_kwargs: Dict = {}
 
     def run(self, rng_key, *model_args, extra_fields=(), init_params=None, **model_kwargs):
+        from ..config import get_config, set_config
+
+        cfg = get_config()
+        if (cfg.hmc_wtw_precision
+                and cfg.hmc_wtw_precision != cfg.wtw_precision):
+            # HMC-scoped gradient-precision override (see Config.hmc_wtw_precision):
+            # the potential-gradient programs trace inside this call, so the
+            # override binds exactly the sampler's backward WᵀW; every other
+            # consumer (SVI, predict, user grads) traces outside it.
+            set_config(wtw_precision=cfg.hmc_wtw_precision)
+            try:
+                return self._run(rng_key, *model_args, extra_fields=extra_fields,
+                                 init_params=init_params, **model_kwargs)
+            finally:
+                set_config(wtw_precision=cfg.wtw_precision)
+        return self._run(rng_key, *model_args, extra_fields=extra_fields,
+                         init_params=init_params, **model_kwargs)
+
+    def _run(self, rng_key, *model_args, extra_fields=(), init_params=None, **model_kwargs):
         import time as _time
 
         model = self.kernel.model
