@@ -105,7 +105,8 @@ def emit(metric, value, unit, vs_baseline, **extra):
 
 def bench_exactgp(n, segment_size=None, warm_time=True,
                   num_warmup=NUM_WARMUP, num_samples=NUM_SAMPLES,
-                  max_depth=MAX_DEPTH, predict_m=2048, budget_s=None):
+                  max_depth=MAX_DEPTH, predict_m=2048, budget_s=None,
+                  warmup_depth_cap=None):
     """ExactGP RBF 1D NUTS fit + fully-Bayesian predict at size n (BASELINE
     config 1; north star n=8k).  Runs through the PUBLIC API (``gp.fit`` /
     ``predict_in_batches``) so the driver artifact measures what a user of
@@ -159,7 +160,8 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
         gp.fit(k, X, y, num_warmup=num_warmup, num_samples=num_samples,
                max_tree_depth=max_depth, segment_size=segment_size,
                print_summary=False, progress_bar=False,
-               segment_callback=provisional_cb, deadline=deadline)
+               segment_callback=provisional_cb, deadline=deadline,
+               warmup_depth_cap=warmup_depth_cap)
         return gp.get_samples()["noise"], gp.mcmc.get_extra_fields()
 
     compiled_note = "warm"
@@ -275,8 +277,13 @@ def bench_exactgp_8k(budget_s=None):
     r03 item 1); the deadline truncates further if needed.  depth 7 +
     segment 2 keeps worst-case calls under ~55 s (duration-fault line,
     N8192_NOTE.md)."""
+    # depth <= 5 for the first 20 warmup steps: pre-adaptation trees max out
+    # at 2^7 leapfrogs for nothing (on-chip: early segments ran 127
+    # leapfrogs/step at 47-57 ms each); the cap saves ~90-180 s of the
+    # untruncatable warmup head at zero sampling-quality cost
     bench_exactgp(8192, segment_size=2, warm_time=False,
-                  num_warmup=100, num_samples=25, budget_s=budget_s)
+                  num_warmup=100, num_samples=25, budget_s=budget_s,
+                  warmup_depth_cap=(5, 20))
 
 
 def bench_exactgp_16k(budget_s=None):
@@ -286,7 +293,8 @@ def bench_exactgp_16k(budget_s=None):
     2 divergences, no fault at depth 7 / segment 1)."""
     bench_exactgp(16384, segment_size=1, warm_time=False,
                   num_warmup=100, num_samples=10, max_depth=7,
-                  predict_m=1024, budget_s=budget_s)
+                  predict_m=1024, budget_s=budget_s,
+                  warmup_depth_cap=(5, 20))
 
 
 def bench_vigp_sparse_image():

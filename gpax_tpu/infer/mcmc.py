@@ -47,6 +47,11 @@ class MCMC:
         # never warmup — so a budget-bound run still returns a posterior)
         self.segment_callback = None
         self.deadline = None
+        # optional (cap, n_steps): run the first n_steps warmup transitions
+        # with tree depth <= cap (see nuts._warmup_xs) — big-n fits burn
+        # 2^max_depth leapfrogs per step while dual averaging is still
+        # pulling the step size into range
+        self.warmup_depth_cap = None
         self._samples_by_chain: Optional[Dict[str, jnp.ndarray]] = None
         self._stats: Optional[Dict[str, jnp.ndarray]] = None
         self._model_args = ()
@@ -158,6 +163,7 @@ class MCMC:
                 progress=self.progress_bar,
                 segment_callback=self.segment_callback,
                 deadline=self.deadline,
+                warmup_depth_cap=self.warmup_depth_cap,
             )
             zs = zs_1[None]
             stats = jax.tree_util.tree_map(lambda x: x[None], stats_1)
@@ -237,6 +243,7 @@ class MCMC:
                 dense_mass=self.kernel.dense_mass,
                 progress=self.progress_bar,
                 shard_put=shard_put,
+                warmup_depth_cap=self.warmup_depth_cap,
             )
         else:
             def one_chain_z(key, z0):

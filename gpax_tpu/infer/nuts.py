@@ -160,7 +160,8 @@ def _build_subtree(potential_grad, depth, z0, r0, grad0, u0, eps_signed, inv_mas
     }
 
 
-def nuts_step(potential_grad: Callable, state: NUTSState, max_depth: int = 10) -> NUTSState:
+def nuts_step(potential_grad: Callable, state: NUTSState, max_depth: int = 10,
+              depth_cap=None) -> NUTSState:
     """One NUTS transition.
 
     The doubling loop carries ONE packed (9, dim) matrix — rows 0-2 left edge
@@ -168,8 +169,18 @@ def nuts_step(potential_grad: Callable, state: NUTSState, max_depth: int = 10) -
     plus a (3,) scalar vector (u_prop, log_weight, sum_accept).  Same op-diet
     rationale as _build_subtree: a handful of masked wheres per doubling
     instead of ~20 per-field ops.
+
+    ``depth_cap``: optional TRACED per-step bound on the number of doublings
+    (≤ max_depth, which stays the static shape/checkpoint bound).  Two uses:
+    segment-padding steps run with cap 0 (a free no-op transition instead of
+    a full discarded tree), and early-warmup steps can run shallow trees
+    while dual averaging drags the step size into range — before adaptation
+    the tree maxes out at 2^max_depth leapfrogs for nothing (the
+    ``warmup_depth_cap`` fit option; validated on-chip, WTW_AB_r04/bench).
     """
     dtype = state.z.dtype
+    depth_limit = max_depth if depth_cap is None else jnp.minimum(
+        jnp.asarray(max_depth, jnp.int32), depth_cap.astype(jnp.int32))
     key, k_mom, k_loop = jax.random.split(state.rng_key, 3)
     r0 = sample_momentum(k_mom, state.inv_mass)
     h0 = state.potential + kinetic_energy(r0, state.inv_mass)
@@ -182,7 +193,7 @@ def nuts_step(potential_grad: Callable, state: NUTSState, max_depth: int = 10) -
 
     def cond(carry):
         depth, T, Sc, num_leaves, turning, diverging, k = carry
-        return (depth < max_depth) & ~turning & ~diverging
+        return (depth < depth_limit) & ~turning & ~diverging
 
     def body(carry):
         depth, T, Sc, num_leaves, turning, diverging, k = carry
@@ -305,6 +316,7 @@ def run_nuts(
     init_step_size: float = 1.0,
     collect_warmup: bool = False,
     dense_mass: bool = False,
+    warmup_depth_cap=None,
 ):
     """Warmup + sampling for ONE chain over a pytree of unconstrained latents
     (or a pure ``init_fn(key)`` callable — see :func:`_resolve_init`).
@@ -337,7 +349,7 @@ def run_nuts(
         energy=u0,
     )
 
-    xs = _warmup_xs(num_warmup, num_samples)
+    xs = _warmup_xs(num_warmup, num_samples, max_tree_depth, warmup_depth_cap)
     step_fn = _make_step_fn(
         potential_grad, max_tree_depth, target_accept_prob, dim, dtype,
         dense_mass=dense_mass,
@@ -366,15 +378,30 @@ def _host_sync(x) -> float:
     return float(jax.device_get(jnp.ravel(x)[-1]))
 
 
-def _warmup_xs(num_warmup: int, num_samples: int):
-    """Per-step adaptation flags for the warmup+sampling scan."""
+def _warmup_xs(num_warmup: int, num_samples: int, max_depth: int = 10,
+               warmup_depth_cap=None):
+    """Per-step adaptation flags + per-step tree-depth cap for the
+    warmup+sampling scan.
+
+    ``warmup_depth_cap``: optional ``(cap, n_steps)`` — the first ``n_steps``
+    warmup transitions run with tree depth ≤ cap.  Before dual averaging has
+    pulled the step size into range, every tree maxes out at 2^max_depth
+    leapfrogs for nothing; a shallow cap there buys the same adaptation at a
+    fraction of the n³ work (only ever applied to the step-size-only head of
+    warmup, never to sampling)."""
     in_window, window_end = warmup_schedule(num_warmup)
     total = num_warmup + num_samples
-    is_warmup = jnp.arange(total) < num_warmup
+    steps = jnp.arange(total)
+    is_warmup = steps < num_warmup
     is_warmup_next = jnp.arange(1, total + 1) < num_warmup
     in_window = jnp.concatenate([in_window, jnp.zeros((num_samples,), bool)])
     window_end = jnp.concatenate([window_end, jnp.zeros((num_samples,), bool)])
-    return is_warmup, is_warmup_next, in_window, window_end
+    depth_cap = jnp.full((total,), max_depth, jnp.int32)
+    if warmup_depth_cap is not None:
+        cap, n_steps = warmup_depth_cap
+        head = steps < min(int(n_steps), num_warmup)
+        depth_cap = jnp.where(head, jnp.int32(cap), depth_cap)
+    return is_warmup, is_warmup_next, in_window, window_end, depth_cap
 
 
 def _dummy_carry_np(dim, dtype, dense_mass, key_like, num_chains=None):
@@ -426,8 +453,9 @@ def _make_step_fn(potential_grad, max_tree_depth, target_accept_prob,
 
     def step_fn(carry, xs):
         state, da, wf = carry
-        warm, warm_next, in_win, win_end = xs
-        state = nuts_step(potential_grad, state, max_tree_depth)
+        warm, warm_next, in_win, win_end, depth_cap = xs
+        state = nuts_step(potential_grad, state, max_tree_depth,
+                          depth_cap=depth_cap)
 
         # dual averaging: only advances during warmup
         da_new = da_update(da, state.accept_prob, target_accept_prob)
@@ -483,6 +511,7 @@ def run_nuts_segmented(
     collect_warmup: bool = False,
     segment_callback: Optional[Callable] = None,
     deadline: Optional[float] = None,
+    warmup_depth_cap=None,
 ):
     """Warmup + sampling executed in Python-driven segments of ``segment_size``
     NUTS transitions, carrying (state, adaptation) between device calls.
@@ -547,8 +576,12 @@ def run_nuts_segmented(
 
     total = num_warmup + num_samples
     pad = (-total) % segment_size
-    xs_np = [onp.asarray(x) for x in _warmup_xs(num_warmup, num_samples)]
-    xs_np = [onp.concatenate([x, onp.zeros(pad, bool)]) for x in xs_np]
+    xs_np = [onp.asarray(x) for x in _warmup_xs(
+        num_warmup, num_samples, max_tree_depth, warmup_depth_cap)]
+    # dtype-aware padding; the depth-cap row pads with 0, so padded steps run
+    # ZERO tree doublings (a free no-op transition) instead of a full
+    # discarded tree
+    xs_np = [onp.concatenate([x, onp.zeros(pad, x.dtype)]) for x in xs_np]
 
     carry = _dummy_carry_np(dim, dtype, dense_mass, onp.asarray(k_run))
     zs_parts, stats_parts, seg_wall = [], [], []
@@ -616,6 +649,7 @@ def run_nuts_segmented_chains(
     init_step_size: float = 1.0,
     progress: bool = False,
     shard_put=None,
+    warmup_depth_cap=None,
     dense_mass: bool = False,
 ):
     """Vectorized (lockstep-vmapped) chains with bounded device segments.
@@ -717,8 +751,12 @@ def run_nuts_segmented_chains(
 
     total = num_warmup + num_samples
     pad = (-total) % segment_size
-    xs_np = [onp.asarray(x) for x in _warmup_xs(num_warmup, num_samples)]
-    xs_np = [onp.concatenate([x, onp.zeros(pad, bool)]) for x in xs_np]
+    xs_np = [onp.asarray(x) for x in _warmup_xs(
+        num_warmup, num_samples, max_tree_depth, warmup_depth_cap)]
+    # dtype-aware padding; the depth-cap row pads with 0, so padded steps run
+    # ZERO tree doublings (a free no-op transition) instead of a full
+    # discarded tree
+    xs_np = [onp.concatenate([x, onp.zeros(pad, x.dtype)]) for x in xs_np]
 
     carry = _dummy_carry_np(dim, dtype, dense_mass, onp.asarray(k_run),
                             num_chains=num_chains)

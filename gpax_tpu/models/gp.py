@@ -257,6 +257,7 @@ class ExactGP:
         target_accept_prob: float = 0.8,
         segment_callback: Optional[Callable] = None,
         deadline: Optional[float] = None,
+        warmup_depth_cap: Optional[tuple] = None,
         **kwargs,
     ) -> None:
         """Run NUTS over the GP hyperparameters.
@@ -343,6 +344,10 @@ class ExactGP:
         )
         self.mcmc.segment_callback = segment_callback
         self.mcmc.deadline = deadline
+        # (cap, n_steps): shallow trees for the first n_steps warmup
+        # transitions — before dual averaging pulls the step size into range
+        # every tree maxes out at 2^max_tree_depth leapfrogs for nothing
+        self.mcmc.warmup_depth_cap = warmup_depth_cap
         self.mcmc.run(rng_key, *fit_args, **kwargs)
         if print_summary:
             self._print_summary()

@@ -106,6 +106,31 @@ def test_deadline_truncates_sampling_never_warmup():
     assert np.all(np.isfinite(np.asarray(mean)))
 
 
+def test_warmup_depth_cap_bounds_early_trees():
+    """warmup_depth_cap=(cap, k): the first k warmup transitions run trees of
+    <= 2^cap - 1 leapfrogs; later transitions use the full depth; sampling
+    draws stay finite and usable."""
+    from gpax_tpu.infer.nuts import run_nuts_segmented
+    from gpax_tpu.ppl import initialize_model
+
+    X, y = _toy()
+    gp = ExactGP(1, "RBF")
+    info = initialize_model(gp.model, get_keys()[0], (X, y), defer_init=True)
+    zs, stats, _ = run_nuts_segmented(
+        info.potential_fn, info.init_fn, get_keys()[0],
+        num_warmup=20, num_samples=25, segment_size=10, max_tree_depth=6,
+        warmup_depth_cap=(2, 10), collect_warmup=True)
+    ns = np.asarray(stats["num_steps"])
+    assert ns[:10].max() <= 3          # capped head
+    assert ns[10:].max() > 3           # full depth afterwards
+    assert np.all(np.isfinite(np.asarray(zs)))
+    # the public fit path accepts the option too
+    gp.fit(get_keys()[0], X, y, num_warmup=20, num_samples=10,
+           segment_size=10, max_tree_depth=6, warmup_depth_cap=(2, 10),
+           print_summary=False, progress_bar=False)
+    assert np.all(np.isfinite(np.asarray(gp.get_samples()["noise"])))
+
+
 def test_deferred_init_matches_concrete_init():
     """initialize_model(defer_init=True).init_fn(key) reproduces the concrete
     init_unconstrained for the same key (same draws, same unconstrain)."""
