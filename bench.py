@@ -543,7 +543,11 @@ CONFIGS = {
 # enforced INSIDE the fits via deadlines (sampling truncates gracefully); the
 # parent's subprocess timeout is share + grace, a backstop only.
 ORDER = ("exactgp8k", "exactgp", "mtgp", "svi_small")
-SHARE = {"exactgp8k": 0.50, "exactgp": 0.24, "mtgp": 0.12, "svi_small": 0.14}
+# calibrated from the measured 2026-08-19 cold run (BENCH_NOTES r04): 8k hit
+# its 700 s deadline right at warmup's end and truncated to 2 draws while
+# 4096/mtgp/svi finished at 290/81/64 s against 336/168/196 s shares — shift
+# the slack to the north star so all 25 draws fit (~800 s measured need)
+SHARE = {"exactgp8k": 0.56, "exactgp": 0.21, "mtgp": 0.09, "svi_small": 0.10}
 # the optional 16k capability config runs only with a raised BENCH_BUDGET_S
 OPTIONAL_ORDER = ("exactgp16k",)
 OPTIONAL_EST_S = {"exactgp16k": 2400.0}
