@@ -8,10 +8,11 @@ consecutive rc=124 rounds proved the old budget model wrong):
 * the n=8192 NORTH STAR runs FIRST, then n=4096, then mtgp, then the three
   small SVI configs grouped in one child (each child process pays ~30-60 s of
   jax/tunnel init);
-* every NUTS config gets a wall-clock share enforced INSIDE the fit: the
-  segmented runner truncates sampling (never warmup) at the deadline and
-  returns the draws collected so far — an honest smaller posterior instead of
-  a killed process;
+* every NUTS config gets a wall-clock share enforced INSIDE the fit: at the
+  deadline the segmented runner truncates sampling — or, when tunnel weather
+  slows the run mid-warmup, freezes adaptation at a segment boundary and
+  samples from there (``warmup_steps_run`` reports it) — an honest smaller
+  posterior instead of a killed process;
 * the segmented runner's per-segment callback emits PROVISIONAL result lines
   (extra.provisional=true, same metric name) every ~30 s, so even if the
   driver kills the whole run mid-config, the last JSON line on stdout is a
@@ -121,9 +122,10 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
     very large n a single timed run including compile is reported instead
     (a SECOND large fit in one process has faulted the device — CLAUDE.md).
     budget_s: wall-clock share for this config.  Enforced INSIDE the fit via
-    the segmented runner's deadline (sampling truncates, warmup never), with
-    ~12%/60s reserved for the predict sweep; provisional result lines stream
-    every ~30 s so a killed run still lands a live reading.
+    the segmented runner's deadline (sampling truncates; a mid-warmup
+    deadline freezes adaptation and samples from there), with ~12%/60s
+    reserved for the predict sweep; provisional result lines stream every
+    ~30 s so a killed run still lands a live reading.
     """
     import gpax_tpu
 
@@ -189,9 +191,12 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
     # useful FLOPs: fwd gram+factor+inverse ~ n³, backward matmul pullback ~ 2n³
     flops = leapfrogs * 3.0 * n**3
     tflops_per_s = flops / fit_s / 1e12
+    wsr = stats.get("warmup_steps_run")
     extra = dict(
         samples_collected=samples_collected,
         truncated=samples_collected < num_samples,
+        warmup_steps_run=(int(np.asarray(wsr).ravel()[0]) if wsr is not None
+                          else num_warmup),
         leapfrogs=leapfrogs,
         leapfrogs_per_s=leapfrogs / fit_s,
         est_tflops_per_s=tflops_per_s,

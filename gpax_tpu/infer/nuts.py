@@ -586,6 +586,7 @@ def run_nuts_segmented(
     carry = _dummy_carry_np(dim, dtype, dense_mass, onp.asarray(k_run))
     zs_parts, stats_parts, seg_wall = [], [], []
     n_segments = (total + pad) // segment_size
+    num_warmup_eff = num_warmup  # may shrink if the deadline fires mid-warmup
     import time as _time
     t_start = _time.perf_counter()
     for s in range(n_segments):
@@ -611,15 +612,29 @@ def run_nuts_segmented(
                 "segment_leapfrogs": [
                     int(onp.asarray(p["num_steps"]).sum()) for p in stats_parts],
             })
-        if (deadline is not None and done > num_warmup and done < total
-                and _time.perf_counter() >= deadline):
-            # budget exhausted after warmup: return the draws collected so
-            # far (an honest, smaller posterior sample) instead of being
-            # killed mid-run with nothing
-            total = done
-            break
+        if deadline is not None and _time.perf_counter() >= deadline:
+            if done < num_warmup_eff:
+                # budget exhausted DURING warmup (tunnel weather can slow the
+                # same run 6x mid-flight — BENCH_NOTES r04): end warmup at
+                # this segment boundary.  Adaptation freezes (the step
+                # program's warm/warm_next/in_window flags are ARGUMENTS, so
+                # the remaining plan is rewritten host-side with no
+                # recompile); the frozen step size is the dual-averaging
+                # average so far, and un-applied mass-window accumulation is
+                # simply never applied.  Still exact MCMC — only proposal
+                # adaptation quality is reduced, and the caller sees it via
+                # `warmup_steps_run` + the accept-rate stats.
+                num_warmup_eff = done
+                for x in xs_np[:4]:
+                    x[done:] = False
+            elif done > num_warmup_eff and done < total:
+                # budget exhausted after warmup: return the draws collected
+                # so far (an honest, smaller posterior sample) instead of
+                # being killed mid-run with nothing
+                total = done
+                break
 
-    start = 0 if collect_warmup else num_warmup
+    start = 0 if collect_warmup else num_warmup_eff
     zs = jnp.concatenate(zs_parts, axis=0)[start:total]
     stats = {
         k: jnp.concatenate([p[k] for p in stats_parts], axis=0)[start:total]
@@ -633,6 +648,9 @@ def run_nuts_segmented(
     # throughput computed from sliced counts over-reports ms/leapfrog
     stats["segment_leapfrogs"] = jnp.asarray(
         [p["num_steps"].sum() for p in stats_parts], jnp.int32)
+    # warmup transitions actually run (< num_warmup when the deadline fired
+    # mid-warmup and adaptation was frozen at a segment boundary)
+    stats["warmup_steps_run"] = jnp.asarray(num_warmup_eff, jnp.int32)
     return zs, stats, unravel
 
 

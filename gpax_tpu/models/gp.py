@@ -285,9 +285,12 @@ class ExactGP:
         leapfrogs per transition on posteriors that run deep trees.
 
         ``segment_callback`` / ``deadline``: per-segment telemetry hook and a
-        soft ``time.perf_counter()`` deadline for the segmented runner —
-        sampling (never warmup) is truncated at the deadline so a
-        budget-bound fit still returns a valid (smaller) posterior.
+        soft ``time.perf_counter()`` deadline for the segmented runner.  A
+        deadline during sampling truncates the draw count; a deadline during
+        warmup freezes adaptation at the segment boundary and flips the rest
+        of the plan to sampling (still exact MCMC, reduced adaptation —
+        reported via ``warmup_steps_run``), so a budget-bound fit always
+        returns a valid posterior.
         """
         X, y = self._set_data(X, y)
         if device:

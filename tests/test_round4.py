@@ -89,21 +89,37 @@ def test_segment_callback_telemetry():
     assert calls[0]["wall_s"] <= calls[-1]["wall_s"]
 
 
-def test_deadline_truncates_sampling_never_warmup():
-    """A deadline already in the past truncates sampling to >=1 segment past
-    warmup and returns a valid (smaller) posterior."""
+def test_deadline_truncates_mid_warmup_to_valid_posterior():
+    """A deadline already in the past fires at the FIRST segment boundary:
+    warmup freezes there (adaptation stops, plan flips to sampling) and one
+    sampling segment is still taken — a valid, honestly-reported posterior."""
     X, y = _toy()
     gp = ExactGP(1, "RBF")
     gp.fit(get_keys()[0], X, y, num_warmup=20, num_samples=40,
            segment_size=10, print_summary=False, progress_bar=False,
            deadline=time.perf_counter() - 1.0)
+    st = gp.mcmc.get_extra_fields()
+    # warmup frozen at the first segment boundary (10 of the 20 planned)
+    assert int(np.asarray(st["warmup_steps_run"]).ravel()[0]) == 10
     noise = np.asarray(gp.get_samples()["noise"])
-    # warmup (20) completed; exactly one post-warmup segment (10 draws) kept
+    # exactly one post-freeze segment kept as draws
     assert noise.shape[0] == 10
     assert np.all(np.isfinite(noise))
     # posterior objects still work downstream
     mean, var = gp.predict(get_keys()[1], jnp.linspace(-1, 1, 7), noiseless=True)
     assert np.all(np.isfinite(np.asarray(mean)))
+
+
+def test_far_deadline_runs_full_plan():
+    """A far-future deadline leaves warmup and draw counts untouched."""
+    X, y = _toy()
+    gp = ExactGP(1, "RBF")
+    gp.fit(get_keys()[0], X, y, num_warmup=20, num_samples=40,
+           segment_size=10, print_summary=False, progress_bar=False,
+           deadline=time.perf_counter() + 3600.0)
+    st = gp.mcmc.get_extra_fields()
+    assert int(np.asarray(st["warmup_steps_run"]).ravel()[0]) == 20
+    assert np.asarray(gp.get_samples()["noise"]).shape[0] == 40
 
 
 def test_warmup_depth_cap_bounds_early_trees():
