@@ -544,15 +544,16 @@ CONFIGS = {
 }
 
 # priority order (north star FIRST — it has missed the driver artifact in two
-# consecutive rounds) + each child's share of the total budget.  Shares are
-# enforced INSIDE the fits via deadlines (sampling truncates gracefully); the
-# parent's subprocess timeout is share + grace, a backstop only.
+# consecutive rounds).  Budgets use MINIMUM-RESERVATION scheduling instead of
+# fixed shares: config i gets everything left after reserving the later
+# configs' minimums, so a fast early finish flows forward instead of being
+# wasted, and a slow-tunnel run starves the tail no further than the
+# reservations (fixed shares measured on 2026-08-19: the 8k slack sat unused
+# while 4096 froze warmup at 12/100 steps against a 250 s compile).  Minimums
+# are measured cold-run needs at median tunnel weather (compile + full
+# warmup); budgets are enforced INSIDE the fits via deadlines.
 ORDER = ("exactgp8k", "exactgp", "mtgp", "svi_small")
-# calibrated from the measured 2026-08-19 cold run (BENCH_NOTES r04): 8k hit
-# its 700 s deadline right at warmup's end and truncated to 2 draws while
-# 4096/mtgp/svi finished at 290/81/64 s against 336/168/196 s shares — shift
-# the slack to the north star so all 25 draws fit (~800 s measured need)
-SHARE = {"exactgp8k": 0.56, "exactgp": 0.21, "mtgp": 0.09, "svi_small": 0.10}
+BUDGET_MIN = {"exactgp8k": 784, "exactgp": 380, "mtgp": 120, "svi_small": 116}
 # the optional 16k capability config runs only with a raised BENCH_BUDGET_S
 OPTIONAL_ORDER = ("exactgp16k",)
 OPTIONAL_EST_S = {"exactgp16k": 2400.0}
@@ -569,12 +570,13 @@ def main():
         pass
     prev_failed = False
     first = True
-    for name in ORDER:
+    for i, name in enumerate(ORDER):
         elapsed = time.time() - t_start
         remaining = TOTAL_BUDGET_S - elapsed
-        share = SHARE[name] * TOTAL_BUDGET_S
-        budget = min(share, max(remaining - 20.0, 0.0))
-        if budget < 0.3 * share:
+        reserved_later = sum(BUDGET_MIN[n2] for n2 in ORDER[i + 1:])
+        budget = min(max(BUDGET_MIN[name], remaining - reserved_later - 20.0),
+                     max(remaining - 20.0, 0.0))
+        if budget < 0.3 * BUDGET_MIN[name]:
             print(f"# skipping {name}: {remaining:.0f}s left", flush=True)
             continue
         if not first:
