@@ -204,6 +204,9 @@ def bench_exactgp(n, segment_size=None, warm_time=True,
         # an extra 3x for bf16 hardware passes, inflating utilization)
         est_mxu_util_pct=100.0 * tflops_per_s * 1e12 / V5E_BF16_PEAK,
         accept_rate=float(np.asarray(stats["accept_prob"]).mean()),
+        # over ALL transitions (warmup incl.) — stable when draws are few
+        accept_rate_all=float(np.asarray(
+            stats.get("accept_mean_all", stats["accept_prob"])).mean()),
         divergences=int(np.asarray(stats["diverging"]).sum()),
         max_depth=max_depth,
         timing=compiled_note,
@@ -465,6 +468,8 @@ def bench_mtgp_bo(budget_s=None):
         leapfrogs=leapfrogs,
         leapfrogs_per_s=leapfrogs / fit_s if leapfrogs > 0 else -1.0,
         accept_rate=float(np.asarray(stats["accept_prob"]).mean()),
+        accept_rate_all=float(np.asarray(
+            stats.get("accept_mean_all", stats["accept_prob"])).mean()),
         acq_eval_s=acq_s,
         acq_points_per_s=float(grid.shape[0]) / acq_s,
         acq_points_per_s_warm=float(grid.shape[0]) / acq_warm_s,

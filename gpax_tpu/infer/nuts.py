@@ -651,6 +651,12 @@ def run_nuts_segmented(
     # warmup transitions actually run (< num_warmup when the deadline fired
     # mid-warmup and adaptation was frozen at a segment boundary)
     stats["warmup_steps_run"] = jnp.asarray(num_warmup_eff, jnp.int32)
+    # mean acceptance over ALL executed transitions (warmup included, padding
+    # excluded): the per-draw accept_prob above is meaningless when a
+    # deadline leaves only a couple of draws
+    acc_all = jnp.concatenate(
+        [p["accept_prob"] for p in stats_parts], axis=0)[:total]
+    stats["accept_mean_all"] = acc_all.mean()
     return zs, stats, unravel
 
 
