@@ -54,12 +54,21 @@ def _batch_moments_fn(model, noiseless, kwargs):
 
 def _run_batch_program(rng_key, model, X, per_subsample_fn, tag,
                        maximize_distance, subsample_size, n_evals,
-                       indices, kwargs):
+                       indices, kwargs, hyper_sig=()):
     """Compile-and-cache the full q-acquisition fan-out as one program.
 
-    ``per_subsample_fn(sub_samples, Xq) -> (q, m)`` evaluates the acquisition
-    for one posterior subset; subsampling, the optional n_evals redraws, and
-    the argmax-index-distance selection all happen inside the program.
+    ``per_subsample_fn(sub_samples, Xq, key) -> (q, m)`` evaluates the
+    acquisition for one posterior subset (``key`` is a fresh traced PRNG key
+    for acquisitions that draw randomness, e.g. qKG's fantasy observations);
+    subsampling, the optional n_evals redraws, and the argmax-index-distance
+    selection all happen inside the program.
+
+    ``hyper_sig`` must carry every acquisition hyperparameter the caller
+    closes into ``per_subsample_fn`` (best_f, beta, maximize, noiseless, n,
+    the custom function's identity, ...): the compiled program bakes those
+    closures in as constants, so they are part of the cache identity — a
+    second call with different values must be a cache MISS, not a silent
+    stale hit (advisor r04, high).
     """
     if getattr(model, "mcmc", None) is None:
         raise ValueError("The model needs to be fully Bayesian")
@@ -82,7 +91,12 @@ def _run_batch_program(rng_key, model, X, per_subsample_fn, tag,
                 return {name: v[idx] for name, v in ss.items()}
 
             def acq_of(k):
-                return per_subsample_fn(subsample(k), Xq)
+                # independent subsample/fantasy streams: the fantasy key is a
+                # traced ARGUMENT, never a compile-time constant (advisor r04,
+                # medium — a closure-baked key would reuse the first call's
+                # fantasy draws on every cache hit)
+                k_sub, k_fn = jra.split(k)
+                return per_subsample_fn(subsample(k_sub), Xq, k_fn)
 
             if not maximize_distance:
                 return acq_of(key)
@@ -100,7 +114,8 @@ def _run_batch_program(rng_key, model, X, per_subsample_fn, tag,
 
         return jax.jit(impl)
 
-    extra_sig = (tag, maximize_distance, subsample_size, n_evals)
+    extra_sig = (tag, maximize_distance, subsample_size, n_evals,
+                 tuple(hyper_sig))
     if hasattr(model, "_cached_program"):
         prog = model._cached_program(
             "batch_acq", builder, X_eval, samples, extra_sig, kwargs)
@@ -120,26 +135,30 @@ def _compute_batch_acquisition(rng_key, model, X: jnp.ndarray,
     ``single_acq_fn(sample, X) -> (m,)`` (the extension point the reference
     exposes); the bundled q-functions below use the moments fast path."""
 
-    def per_subsample(sub, Xq):
+    def per_subsample(sub, Xq, key):
         return jax.vmap(lambda s: single_acq_fn(s, Xq))(sub)
 
     return _run_batch_program(
         rng_key, model, X, per_subsample, tag, maximize_distance,
-        subsample_size, n_evals, indices, kwargs)
+        subsample_size, n_evals, indices, kwargs,
+        # the custom fn's identity IS the program: two different callables
+        # under the shared "custom" tag must not share a cache entry
+        hyper_sig=(id(single_acq_fn),))
 
 
 def _moment_batch_acq(rng_key, model, X, moment_to_acq, tag, noiseless,
                       maximize_distance, subsample_size, n_evals, indices,
-                      kwargs):
+                      kwargs, hyper_sig):
     moments = _batch_moments_fn(model, noiseless, kwargs)
 
-    def per_subsample(sub, Xq):
+    def per_subsample(sub, Xq, key):
         mean, var = jax.vmap(lambda p: moments(p, Xq))(sub)
         return moment_to_acq(mean, var)
 
     return _run_batch_program(
         rng_key, model, X, per_subsample, tag, maximize_distance,
-        subsample_size, n_evals, indices, kwargs)
+        subsample_size, n_evals, indices, kwargs,
+        hyper_sig=(noiseless,) + tuple(hyper_sig))
 
 
 def qEI(rng_key, model, X: jnp.ndarray, best_f: Optional[float] = None,
@@ -153,7 +172,7 @@ def qEI(rng_key, model, X: jnp.ndarray, best_f: Optional[float] = None,
         lambda mean, var: jax.vmap(
             lambda m, v: ei((m, v), best_f, maximize))(mean, var),
         "qEI", noiseless, maximize_distance, subsample_size, n_evals,
-        indices, kwargs)
+        indices, kwargs, hyper_sig=(best_f, maximize))
 
 
 def qUCB(rng_key, model, X: jnp.ndarray, beta: float = 0.25,
@@ -167,7 +186,7 @@ def qUCB(rng_key, model, X: jnp.ndarray, beta: float = 0.25,
         lambda mean, var: jax.vmap(
             lambda m, v: ucb((m, v), beta, maximize))(mean, var),
         "qUCB", noiseless, maximize_distance, subsample_size, n_evals,
-        indices, kwargs)
+        indices, kwargs, hyper_sig=(beta, maximize))
 
 
 def qPOI(rng_key, model, X: jnp.ndarray, best_f: Optional[float] = None,
@@ -181,7 +200,7 @@ def qPOI(rng_key, model, X: jnp.ndarray, best_f: Optional[float] = None,
         lambda mean, var: jax.vmap(
             lambda m, v: poi((m, v), best_f, maximize))(mean, var),
         "qPOI", noiseless, maximize_distance, subsample_size, n_evals,
-        indices, kwargs)
+        indices, kwargs, hyper_sig=(best_f, maximize))
 
 
 def qKG(rng_key, model, X: jnp.ndarray, n: int = 1,
@@ -191,11 +210,15 @@ def qKG(rng_key, model, X: jnp.ndarray, n: int = 1,
         **kwargs) -> jnp.ndarray:
     """Batch knowledge gradient (fantasy-model KG per posterior draw)."""
 
-    def per_subsample(sub, Xq):
+    def per_subsample(sub, Xq, key):
+        # the fantasy-draw key arrives as a traced argument (fresh per call,
+        # independent of the subsample stream) — reference semantics draw new
+        # fantasies every call (gpax/acquisition/batch_acquisition.py:243)
         return jax.vmap(
-            lambda s: kg(model, Xq, s, rng_key, n, maximize, noiseless,
-                         **kwargs))(sub)
+            lambda s, k: kg(model, Xq, s, k, n, maximize, noiseless,
+                            **kwargs))(sub, jra.split(key, subsample_size))
 
     return _run_batch_program(
         rng_key, model, X, per_subsample, "qKG", maximize_distance,
-        subsample_size, n_evals, indices, kwargs)
+        subsample_size, n_evals, indices, kwargs,
+        hyper_sig=(n, maximize, noiseless))

@@ -144,6 +144,46 @@ def test_batch_acq_single_cached_program():
     assert len(cache) == 2
 
 
+def test_batch_acq_hyperparams_in_cache_key():
+    """Closure-baked acquisition hyperparameters are part of the compiled-
+    program cache identity: qUCB(beta=0.25) then qUCB(beta=4.0) on the same
+    model must yield DIFFERENT values, not a stale cache hit (advisor r04,
+    high)."""
+    m = mock_GP()
+    m.__dict__.pop("_prog_cache", None)
+    key = get_keys()[0]
+    a_lo = qUCB(key, m, X_cand, beta=0.25, subsample_size=3)
+    a_hi = qUCB(key, m, X_cand, beta=4.0, subsample_size=3)
+    assert len(m.__dict__["_prog_cache"]) == 2
+    assert not np.allclose(np.asarray(a_lo), np.asarray(a_hi))
+    # same key + same hyperparams reproduces exactly (cache hit, same program)
+    np.testing.assert_allclose(
+        np.asarray(qUCB(key, m, X_cand, beta=0.25, subsample_size=3)),
+        np.asarray(a_lo), rtol=1e-6)
+    # maximize flip on qEI is likewise a distinct program with distinct values
+    e_min = qEI(key, m, X_cand, maximize=False, subsample_size=3)
+    e_max = qEI(key, m, X_cand, maximize=True, subsample_size=3)
+    assert not np.allclose(np.asarray(e_min), np.asarray(e_max))
+
+
+def test_qkg_fresh_fantasy_key_per_call():
+    """qKG's fantasy draws must follow the per-call rng_key (the key is a
+    traced program ARGUMENT): two calls with different keys on a cached
+    program give different values; the same key reproduces (advisor r04,
+    medium)."""
+    m = mock_GP()
+    m.__dict__.pop("_prog_cache", None)
+    k1, k2 = get_keys()
+    a1 = qKG(k1, m, X_cand, subsample_size=2)
+    assert len(m.__dict__["_prog_cache"]) == 1
+    a2 = qKG(k2, m, X_cand, subsample_size=2)
+    assert len(m.__dict__["_prog_cache"]) == 1  # same program served both
+    assert not np.allclose(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(
+        np.asarray(qKG(k1, m, X_cand, subsample_size=2)), np.asarray(a1),
+        rtol=1e-6)
+
+
 def test_batch_acq_exact_moments_match_mvn_diag():
     """The diagonal fast path (get_predictive_mean_var) must reproduce the
     reference's full-covariance-then-diagonal moments."""
