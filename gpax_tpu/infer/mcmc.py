@@ -42,9 +42,11 @@ class MCMC:
         # (single-chain only) — progress reporting + bounded device executions
         self.segment_size = segment_size
         # optional per-segment telemetry hook + soft wall-clock deadline for
-        # the single-chain segmented path (bench harnesses emit provisional
-        # result lines from the callback; the deadline truncates sampling —
-        # never warmup — so a budget-bound run still returns a posterior)
+        # the segmented paths (bench harnesses emit provisional result lines
+        # from the callback).  A deadline firing after warmup truncates
+        # sampling; firing mid-warmup it FREEZES adaptation at a segment
+        # boundary and samples from there (warmup_steps_run reports it) — so
+        # a budget-bound run still returns a posterior either way.
         self.segment_callback = None
         self.deadline = None
         # optional (cap, n_steps): run the first n_steps warmup transitions
@@ -78,6 +80,27 @@ class MCMC:
 
     def _run(self, rng_key, *model_args, extra_fields=(), init_params=None, **model_kwargs):
         import time as _time
+        import warnings
+
+        # the hostile-window options only exist on the segmented runners;
+        # silently ignoring them on other paths hid real bugs (advisor r04)
+        if not self.segment_size:
+            ignored = [n for n, v in (("segment_callback", self.segment_callback),
+                                      ("deadline", self.deadline),
+                                      ("warmup_depth_cap", self.warmup_depth_cap))
+                       if v is not None]
+            if ignored:
+                warnings.warn(
+                    f"{', '.join(ignored)} require segment_size (the segmented "
+                    "runner paths); ignored on this non-segmented run",
+                    stacklevel=2)
+        elif self.num_chains > 1 and self.chain_method == "sequential" and (
+                self.segment_callback is not None or self.deadline is not None
+                or self.warmup_depth_cap is not None):
+            warnings.warn(
+                "segment_callback/deadline/warmup_depth_cap are not threaded "
+                "through chain_method='sequential'; use 'vectorized' or "
+                "'parallel' for hostile-window multi-chain runs", stacklevel=2)
 
         model = self.kernel.model
         self._model_args = model_args
@@ -244,6 +267,8 @@ class MCMC:
                 progress=self.progress_bar,
                 shard_put=shard_put,
                 warmup_depth_cap=self.warmup_depth_cap,
+                segment_callback=self.segment_callback,
+                deadline=self.deadline,
             )
         else:
             def one_chain_z(key, z0):

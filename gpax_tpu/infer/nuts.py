@@ -534,7 +534,12 @@ def run_nuts_segmented(
     bench harnesses emit provisional result lines from it so a killed run
     still lands a line.  ``deadline``: optional ``time.perf_counter()`` value;
     once warmup has completed, the runner stops launching further segments
-    past the deadline and returns the samples collected so far.
+    past the deadline and returns the samples collected so far.  A deadline
+    that fires mid-warmup FREEZES adaptation at the segment boundary and
+    repurposes the remaining plan as posterior draws; note the one-step
+    seam: the first post-freeze draw still uses the live dual-averaging step
+    size already written into the device carry (valid MCMC — the step size
+    is a deterministic proposal parameter — just one less-adapted draw).
     """
     import numpy as onp
 
@@ -627,6 +632,10 @@ def run_nuts_segmented(
                 num_warmup_eff = done
                 for x in xs_np[:4]:
                     x[done:] = False
+                # steps repurposed as posterior draws must not inherit the
+                # warmup head's shallow depth cap (advisor r04): restore the
+                # full tree depth from the freeze point on
+                xs_np[4][done:] = max_tree_depth
             elif done > num_warmup_eff and done < total:
                 # budget exhausted after warmup: return the draws collected
                 # so far (an honest, smaller posterior sample) instead of
@@ -675,6 +684,8 @@ def run_nuts_segmented_chains(
     shard_put=None,
     warmup_depth_cap=None,
     dense_mass: bool = False,
+    segment_callback: Optional[Callable] = None,
+    deadline: Optional[float] = None,
 ):
     """Vectorized (lockstep-vmapped) chains with bounded device segments.
 
@@ -695,6 +706,13 @@ def run_nuts_segmented_chains(
     Like :func:`run_nuts_segmented`, the whole fit is ONE compiled program
     (vmapped setup fused into the first segment via an ``is_first`` branch;
     keys enter as arguments so refits are persistent-cache hits).
+
+    ``segment_callback`` / ``deadline``: identical hostile-window semantics
+    to :func:`run_nuts_segmented` (VERDICT r04 item 3) — per-segment
+    telemetry for provisional result lines, post-warmup deadline truncation,
+    and a mid-warmup deadline freezes adaptation at the segment boundary
+    (all chains share the lockstep schedule, so the freeze rewrites the same
+    host-side plan rows; ``warmup_steps_run`` reports it).
     """
     import numpy as onp
 
@@ -788,7 +806,9 @@ def run_nuts_segmented_chains(
         carry = shard_put(carry)
     zs_parts, stats_parts, seg_wall = [], [], []
     n_segments = (total + pad) // segment_size
+    num_warmup_eff = num_warmup  # may shrink if the deadline fires mid-warmup
     import time as _time
+    t_start = _time.perf_counter()
     for s in range(n_segments):
         sl = slice(s * segment_size, (s + 1) * segment_size)
         xs_seg = tuple(jnp.asarray(x[sl]) for x in xs_np)
@@ -799,17 +819,41 @@ def run_nuts_segmented_chains(
         seg_wall.append(_time.perf_counter() - t0)
         zs_parts.append(zs)
         stats_parts.append(stats)
+        done = min((s + 1) * segment_size, total)
         if progress:
-            done = min((s + 1) * segment_size, total)
             print(f"  NUTS segment {s + 1}/{n_segments} ({done}/{total} steps, "
                   f"{num_chains} chains)", flush=True)
+        if segment_callback is not None:
+            segment_callback({
+                "segments_done": s + 1, "n_segments": n_segments,
+                "steps_done": done, "total_steps": total,
+                "num_chains": num_chains,
+                "wall_s": _time.perf_counter() - t_start,
+                "segment_wall_s": list(seg_wall),
+                "segment_leapfrogs": [
+                    int(onp.asarray(p["num_steps"]).sum()) for p in stats_parts],
+            })
+        if deadline is not None and _time.perf_counter() >= deadline:
+            if done < num_warmup_eff:
+                # mid-warmup freeze at a segment boundary — the lockstep plan
+                # rows are shared by every chain, so one host-side rewrite
+                # freezes adaptation for all of them (same semantics + seam
+                # as run_nuts_segmented; still exact MCMC)
+                num_warmup_eff = done
+                for x in xs_np[:4]:
+                    x[done:] = False
+                xs_np[4][done:] = max_tree_depth
+            elif done > num_warmup_eff and done < total:
+                total = done
+                break
 
     # scan emits (steps, C, ...) — concat on steps, drop warmup, chain-major
-    zs = jnp.concatenate(zs_parts, axis=0)[num_warmup:total]
+    zs = jnp.concatenate(zs_parts, axis=0)[num_warmup_eff:total]
     zs = jnp.swapaxes(zs, 0, 1)
     stats = {
         k: jnp.swapaxes(
-            jnp.concatenate([p[k] for p in stats_parts], axis=0)[num_warmup:total],
+            jnp.concatenate([p[k] for p in stats_parts],
+                            axis=0)[num_warmup_eff:total],
             0, 1)
         for k in stats_parts[0]
     }
@@ -819,4 +863,8 @@ def run_nuts_segmented_chains(
     stats["segment_wall_s"] = jnp.asarray(seg_wall)
     stats["segment_leapfrogs"] = jnp.asarray(
         [p["num_steps"].sum() for p in stats_parts], jnp.int32)
+    stats["warmup_steps_run"] = jnp.asarray(num_warmup_eff, jnp.int32)
+    acc_all = jnp.concatenate(
+        [p["accept_prob"] for p in stats_parts], axis=0)[:total]
+    stats["accept_mean_all"] = acc_all.mean()
     return zs, stats, unravel
