@@ -619,7 +619,10 @@ ORDER = ("exactgp8k", "exactgp", "mtgp", "svi_small")
 # 2026-08-19 (4252 leapfrogs, accept 0.84); svi_small's 180 covers child
 # init + three warm fits with margin (the r04 driver skipped 2 of them —
 # never again); warm-case arithmetic leaves the svi child ~300 s anyway
-BUDGET_MIN = {"exactgp8k": 840, "exactgp": 260, "mtgp": 100, "svi_small": 180}
+# 8k warm fit measured 800.3 s for the full 100+50 (47.2 ms/leapfrog,
+# 2026-08-19 r05 validation) — 870 lands all 50 draws warm; 4096 warm was
+# 117 s INCLUDING compile, so 230 holds with its deadline as backstop
+BUDGET_MIN = {"exactgp8k": 870, "exactgp": 230, "mtgp": 100, "svi_small": 180}
 # optional capability configs, first fit wins: the full 16k needs a raised
 # BENCH_BUDGET_S (~50 min); the mini variant lands a 16k line when the
 # default window finishes with >=420 s of slack (warm cache + good weather)
