@@ -613,7 +613,15 @@ CONFIGS = {
 # while 4096 froze warmup at 12/100 steps against a 250 s compile).  Minimums
 # are measured cold-run needs at median tunnel weather (compile + full
 # warmup); budgets are enforced INSIDE the fits via deadlines.
-ORDER = ("exactgp8k", "exactgp", "mtgp", "svi_small")
+ORDER = ("exactgp8k", "svi_small", "exactgp", "mtgp")
+# svi_small runs SECOND (2026-08-19 night runs): children overshoot their
+# budgets by the untruncatable tail (warmup freeze + final segment + predict),
+# and in stall weather the cumulative overshoot left the tail config with
+# NEGATIVE remaining — the svi child (3 of the 6 BASELINE lines, ~2 min warm)
+# was skipped twice while mtgp landed a stall-degraded vs=0.0 line.  The
+# cheap multi-line child must never be the sacrificial tail (VERDICT r04
+# item 1a); mtgp and exactgp4096 stream provisional lines and truncate
+# honestly, so they degrade gracefully in last position.
 # minimums re-measured for the r05 shapes: 8k carries 50 draws now (its warm
 # fit is ~745 s + predict); 4096 measured 117 s INCLUDING compile on
 # 2026-08-19 (4252 leapfrogs, accept 0.84); svi_small's 180 covers child
@@ -725,9 +733,14 @@ def main():
         star = [ln for ln in seen_lines
                 if ln.get("metric", "").startswith(prefix)]
         final = [ln for ln in star if not ln.get("extra", {}).get("provisional")]
-        pick = (final or star)
+        # prefer the final line with the most posterior mass: a stall-truncated
+        # attempt and a later healthy one can both be on record, and "last"
+        # would pick whichever happened to run second
+        final.sort(key=lambda ln: (ln.get("extra", {}).get(
+            "samples_collected", -1), ln.get("value", 0.0) > 0))
+        pick = (final[-1:] or star[-1:])
         if pick:
-            print(json.dumps(pick[-1]), flush=True)
+            print(json.dumps(pick[0]), flush=True)
             break
 
 
