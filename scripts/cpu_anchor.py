@@ -42,26 +42,38 @@ def _timed(fn):
 
 
 def anchor_vigp():
+    """r05 shape: the reference notebook's actual workload — a 128x128
+    sparse image (gpax_viGP.ipynb: X_full = 16384, num_steps=250,
+    step_size=0.05), n_train ≈ 2458 at the 15% mask.  A full 250-step fit
+    on one CPU core takes minutes, so the anchor measures a 50-step warm
+    fit and scales per-step x 250 — SVI steps are identical computations,
+    so per-step cost is constant (the same convention as the per-leapfrog
+    ExactGP anchors)."""
     import gpax_tpu
     from gpax_tpu.utils import preprocess_sparse_image
 
     rng = np.random.default_rng(0)
-    size = 48
+    size = 128
+    steps_measure, steps_full = 50, 250
     xx, yy = np.meshgrid(np.arange(size), np.arange(size))
-    truth = np.sin(xx / 6.0) * np.cos(yy / 8.0) + 1.5
+    truth = np.sin(xx / 16.0) * np.cos(yy / 21.0) + 1.5
     mask = rng.uniform(size=truth.shape) < 0.15
     coords, values, _ = preprocess_sparse_image(np.where(mask, truth, 0.0))
 
     def run():
         model = gpax_tpu.viGP(input_dim=2, kernel="Matern")
         model.fit(jax.random.PRNGKey(0), jnp.asarray(coords), jnp.asarray(values),
-                  num_steps=2000, print_summary=False, progress_bar=False)
+                  num_steps=steps_measure, step_size=0.05,
+                  print_summary=False, progress_bar=False)
         np.asarray(jax.tree_util.tree_leaves(model.get_samples())[0])
         return model
 
     _, cold = _timed(run)
     _, warm = _timed(run)
-    return dict(cold_s=cold, warm_s=warm, per_unit=warm / 2000.0, unit="svi_step")
+    per_step = warm / steps_measure
+    return dict(cold_s=cold, warm_s=warm, per_unit=per_step,
+                anchor_full_s=per_step * steps_full,
+                unit=f"svi_step_n2458; anchor = per_unit x {steps_full}")
 
 
 def anchor_visparsegp():
@@ -121,6 +133,12 @@ def anchor_vidkl():
 
 
 def anchor_mtgp():
+    """r05 shape: n=320+64 multi-fidelity campaign, SAME segmented runner
+    path as bench_mtgp_bo (the old anchor's 4.82e-4 s/leapfrog came from the
+    non-segmented CPU path, which is ~6x slower per leapfrog than the
+    segmented op-diet path the bench actually exercises — measured
+    2026-08-20: 396k leapfrogs in 29.2 s warm at n=48).  Per-leapfrog cost
+    is n-bound, so a short 100+150 run anchors the full 1000+4000 config."""
     import gpax_tpu
 
     def f_hi(x):
@@ -130,7 +148,7 @@ def anchor_mtgp():
         return 0.8 * f_hi(x) + 0.2 * np.cos(3 * x)
 
     rng = np.random.default_rng(0)
-    n_lo, n_hi = 40, 8
+    n_lo, n_hi = 320, 64
     X_lo, X_hi = rng.uniform(0, 2, n_lo), rng.uniform(0, 2, n_hi)
     X = np.concatenate([np.column_stack([X_lo, np.zeros(n_lo)]),
                         np.column_stack([X_hi, np.ones(n_hi)])])
@@ -139,8 +157,8 @@ def anchor_mtgp():
     def run():
         mtgp = gpax_tpu.MultiTaskGP(1, "Matern", num_latents=1, num_tasks=2)
         mtgp.fit(jax.random.PRNGKey(0), jnp.asarray(X, jnp.float32),
-                 jnp.asarray(y, jnp.float32), num_warmup=1000, num_samples=1000,
-                 target_accept_prob=0.7,
+                 jnp.asarray(y, jnp.float32), num_warmup=50, num_samples=50,
+                 segment_size=100, target_accept_prob=0.7,
                  print_summary=False, progress_bar=False)
         np.asarray(jax.tree_util.tree_leaves(mtgp.get_samples())[0])
         return mtgp
@@ -149,13 +167,13 @@ def anchor_mtgp():
     stats = mtgp.mcmc.get_extra_fields()
     seg = np.asarray(stats.get("segment_leapfrogs", []), dtype=np.float64)
     leapfrogs = float(seg.sum()) if seg.size else float(
-        np.asarray(stats["num_steps"]).sum()) + 2000
+        np.asarray(stats["num_steps"]).sum())
     mtgp2, warm = _timed(run)
     seg2 = np.asarray(mtgp2.mcmc.get_extra_fields().get(
         "segment_leapfrogs", []), dtype=np.float64)
     leapfrogs2 = float(seg2.sum()) if seg2.size else leapfrogs
     return dict(cold_s=cold, warm_s=warm, leapfrogs=leapfrogs2,
-                per_unit=warm / max(leapfrogs2, 1.0), unit="leapfrog")
+                per_unit=warm / max(leapfrogs2, 1.0), unit="leapfrog_n384")
 
 
 ANCHORS = {
